@@ -1,0 +1,21 @@
+"""Test configuration: force CPU backend with a virtual 8-device mesh.
+
+The axon sitecustomize registers the TPU backend eagerly and pins
+JAX_PLATFORMS=axon, so we must both set the env vars and override the jax
+config before any computation runs. Multi-chip sharding paths are validated on
+the virtual CPU mesh; the real TPU is exercised by bench.py and the driver's
+compile checks.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
