@@ -11,3 +11,5 @@ See SURVEY.md at the repo root for the reference layer map this build follows.
 """
 
 __version__ = "0.1.0"
+
+from . import utils  # noqa: F401,E402  (enables the persistent compile cache)

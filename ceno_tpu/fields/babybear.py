@@ -22,6 +22,7 @@ implementation, not a translation.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
@@ -142,6 +143,29 @@ def pow_const(a, e: int):
 def inv(a):
     """Field inverse via Fermat: a^(p-2). a must be nonzero."""
     return pow_const(a, P - 2)
+
+
+def sum_mod(x, axis: int = -1):
+    """Modular sum along ``axis`` via halving tree (power-of-2 padded).
+
+    jnp.sum would overflow uint32; a halving tree of :func:`add` keeps every
+    intermediate < p with log2(n) vectorized adds.
+    """
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, pow2 - n)
+        x = jnp.pad(x, pad)
+        n = pow2
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(x, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(x, half, n, axis=axis)
+        x = add(lo, hi)
+        n = half
+    return jnp.squeeze(x, axis=axis)
 
 
 def zeros(shape):
