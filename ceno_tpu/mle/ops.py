@@ -63,6 +63,15 @@ def evaluate(m, point):
     return m[:, 0]
 
 
+import jax as _jax
+
+
+@_jax.jit
+def build_eq_jit(point):
+    """Jitted build_eq (one XLA program per point length)."""
+    return build_eq(point)
+
+
 def build_eq(point, scale=None):
     """eq(x, r) table: (4, 2^n) with eq[i] = prod_j (i_j r_j + (1-i_j)(1-r_j)).
 

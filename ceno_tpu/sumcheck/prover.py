@@ -21,6 +21,7 @@ from ..fields import babybear as bb
 from ..fields import ext4_host as exth
 from ..hash.transcript import Transcript
 from . import terms as T
+from . import host_impl as H
 
 
 @dataclass
@@ -72,55 +73,116 @@ def prove(
     n_vars: int,
     transcript: Transcript,
 ) -> SumcheckOutput:
-    """Run the sumcheck. ``base_cols``/``ext_cols`` are device Monty MLEs of
-    size 2^n_vars ((N,) and (4, N)); term indices refer into those lists."""
+    """Run the sumcheck over MLE columns of size 2^n_vars.
+
+    Columns may be device Monty arrays (base (N,), ext (4, N)) or host
+    canonical numpy arrays (base (N,) uint, ext (N, 4) uint64). Device rounds
+    run the terms.py kernels; once the folded size drops to HOST_N (or if the
+    input starts small / on host) the remaining rounds run in numpy — device
+    dispatch and program count dominate below that size.
+    """
     n_base, n_ext = len(base_cols), len(ext_cols)
     n = 1 << n_vars
     bidx_np, eidx_np, scal_np, deg = compile_terms(term_list, n_base, n_ext)
-    base_bank, ext_bank = T.make_banks(list(base_cols), list(ext_cols), n)
+    on_host = (n <= H.HOST_N) or (
+        (base_cols and isinstance(base_cols[0], np.ndarray))
+        or (ext_cols and isinstance(ext_cols[0], np.ndarray))
+    )
+    midx_np = T.merge_indices(bidx_np, eidx_np, n_base, n_ext)
+
+    if on_host:
+        hbase = [np.asarray(_to_host_base(c), np.uint64) for c in base_cols]
+        hext = [np.asarray(_to_host_ext(c), np.uint64) for c in ext_cols]
+        base_bank_h, ext_bank_h = H.make_banks_host(hbase, hext, n)
+        merged_h = None
+        base_bank = ext_bank = None
+    else:
+        base_bank, ext_bank = T.make_banks(list(base_cols), list(ext_cols), n)
+        base_bank_h = ext_bank_h = merged_h = None
     bidx = jnp.asarray(bidx_np)
     eidx = jnp.asarray(eidx_np)
     scalars = jnp.asarray(bb.np_to_monty(scal_np.T))  # (4, T) Monty
-    midx = jnp.asarray(T.merge_indices(bidx_np, eidx_np, n_base, n_ext))
+    midx = jnp.asarray(midx_np)
 
     msgs = np.zeros((n_vars, deg + 1, 4), np.uint64)
     chals = np.zeros((n_vars, 4), np.uint64)
     merged = None
     for rnd in range(n_vars):
-        if rnd == 0:
+        if on_host:
+            if merged_h is None:
+                ev_h = H.round_evals_host(
+                    base_bank_h, ext_bank_h, bidx_np, eidx_np, scal_np, deg
+                )
+            else:
+                ev_h = H.round_evals_host(
+                    np.ones((1, merged_h.shape[1]), np.uint64),
+                    merged_h,
+                    np.zeros((scal_np.shape[0], 0), np.int32),
+                    midx_np,
+                    scal_np,
+                    deg,
+                )
+        elif rnd == 0:
             ev = T.round_evals(base_bank, ext_bank, bidx, eidx, scalars, deg=deg)
+            ev_h = bb.np_from_monty(np.asarray(ev)).astype(np.uint64)
         else:
             ev = T.round_evals_ext(merged, midx, scalars, deg=deg)
-        ev_h = bb.np_from_monty(np.asarray(ev)).astype(np.uint64)
+            ev_h = bb.np_from_monty(np.asarray(ev)).astype(np.uint64)
         msgs[rnd] = ev_h
         transcript.append(ev_h.ravel())
         ch = np.array(transcript.sample_ext(), np.uint64)
         chals[rnd] = ch
-        r_dev = jnp.asarray(bb.np_to_monty(ch))
-        if rnd == 0:
-            merged = T.fold_banks(base_bank, ext_bank, r_dev)
-            base_bank = None
-            ext_bank = None
+        if on_host:
+            if merged_h is None:
+                merged_h = H.fold_banks_host(base_bank_h, ext_bank_h, ch)
+                base_bank_h = ext_bank_h = None
+            else:
+                merged_h = H.fold_ext_bank_host(merged_h, ch)
         else:
-            merged = T.fold_ext_bank(merged, r_dev)
+            r_dev = jnp.asarray(bb.np_to_monty(ch))
+            if rnd == 0:
+                merged = T.fold_banks(base_bank, ext_bank, r_dev)
+                base_bank = None
+                ext_bank = None
+            else:
+                merged = T.fold_ext_bank(merged, r_dev)
+            if merged.shape[-1] <= H.HOST_N:
+                # switch to host for the tail rounds
+                mh = bb.np_from_monty(np.asarray(merged)).astype(np.uint64)
+                merged_h = np.moveaxis(mh, 0, -1)  # (C, half, 4)
+                merged = None
+                on_host = True
 
     if n_vars == 0:
-        fb = np.stack([exth.from_base(0)] * n_base) if n_base else np.zeros((0, 4), np.uint64)
         # 0-var polys are scalars; evaluate directly
         fb = (
-            np.stack([exth.from_base(int(bb.np_from_monty(np.asarray(c))[0])) for c in base_cols])
+            np.stack([exth.from_base(int(_to_host_base(c)[0])) for c in base_cols])
             if n_base
             else np.zeros((0, 4), np.uint64)
         )
         fe = (
-            np.stack([bb.np_from_monty(np.asarray(c[:, 0])).astype(np.uint64) for c in ext_cols])
+            np.stack([np.asarray(_to_host_ext(c)[0], np.uint64) for c in ext_cols])
             if n_ext
             else np.zeros((0, 4), np.uint64)
         )
         return SumcheckOutput(SumcheckProof(msgs), chals, fb, fe)
 
-    fin = bb.np_from_monty(np.asarray(T.final_evals(merged))).astype(np.uint64).T  # (C, 4)
+    fin = merged_h[:, 0, :]  # (C, 4): rounds always end on host (size 1)
     final_base = fin[:n_base]
     final_ext = fin[n_base : n_base + n_ext]
     point = chals[::-1].copy()  # LSB-first
     return SumcheckOutput(SumcheckProof(msgs), point, final_base, final_ext)
+
+
+def _to_host_base(c) -> np.ndarray:
+    """Device Monty (N,) or host canonical (N,) -> host canonical uint64."""
+    if isinstance(c, np.ndarray):
+        return np.asarray(c, np.uint64)
+    return bb.np_from_monty(np.asarray(c)).astype(np.uint64)
+
+
+def _to_host_ext(c) -> np.ndarray:
+    """Device Monty (4, N) or host canonical (N, 4) -> host canonical (N, 4)."""
+    if isinstance(c, np.ndarray):
+        return np.asarray(c, np.uint64)
+    return bb.np_from_monty(np.asarray(c)).astype(np.uint64).T

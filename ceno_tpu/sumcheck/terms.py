@@ -36,6 +36,7 @@ from ..fields import ext4
 SMALL_N = 2048
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def make_banks(base_cols, ext_cols, n: int):
     """Stack column lists into padded banks (appends the ones sentinel col)."""
     base = (
