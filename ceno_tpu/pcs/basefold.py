@@ -1,0 +1,437 @@
+"""Basefold-RS multilinear PCS: batch commit, batched multi-point open, verify.
+
+Role mirror of the reference's ``mpcs::Basefold`` (SURVEY.md §2.9, hot loop #3
+in §3.2). Commit = column-wise RS encode (pcs/ntt.py) + Poseidon2 Merkle over
+rows; open = the classic Basefold interleaving of an eq-weighted batching
+sumcheck with codeword folding; verify = transcript replay + fold-consistency
+spot checks at sampled query positions.
+
+Batched opening protocol (one height class, C columns, K points):
+  1. gamma <- transcript; per CLAIMED (point k, column j) pair a weight
+     c_jk = gamma^t (t = running claim index). Unclaimed pairs weigh 0.
+  2. Prover combines per point: F_k = sum_j c_jk f_j (ONE ext column per
+     point), and the fold oracle U_0 = sum_jk c_jk cw_j over codewords.
+  3. Sumcheck over sum_x sum_k eq(x, z_k) F_k(x) = sum c_jk y_jk, degree 2,
+     K terms. After each challenge r_t the prover folds
+     U_{t+1}[i] = ((U_t[i]+U_t[i+M/2]) + r_t * w_M^{-i} (U_t[i]-U_t[i+M/2]))/2
+     and absorbs the Merkle root of U_{t+1} (so r_{t+1} binds it); once the
+     codeword is <= STOP_SIZE it is sent in full instead.
+  4. F_k(point) final evals are absorbed; queries sampled; each query opens
+     the base leaf pair and every committed fold level's pair, and the
+     verifier replays the fold chain down to the in-clear tail, whose own
+     folds must collapse to the constant h(point) = sum_k F_k(point).
+
+The domain/variable-order trick that makes codeword folding bind the SAME
+variable as a top-variable sumcheck round is documented in pcs/ntt.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..fields import ext4
+from ..fields import ext4_host as exth
+from ..hash.transcript import Transcript
+from ..mle import ops
+from ..sumcheck import prover as sc_prover
+from ..sumcheck import verifier as sc_verifier
+from ..sumcheck import host_impl as H
+from ..sumcheck.prover import TermSpec
+from . import ntt
+from .merkle import MerkleTree, hash_and_tree, gather_rows, verify_path
+
+
+@dataclass
+class BasefoldParams:
+    blowup_log: int = 3
+    n_queries: int = 34   # ~100-bit conjectured security at rate 1/8
+    stop_size: int = 256  # codeword sent in clear below this
+
+    @property
+    def blowup(self) -> int:
+        return 1 << self.blowup_log
+
+
+@dataclass
+class Committed:
+    """Prover-side commitment: retains evals + codeword on device."""
+
+    cols: object          # (C, N) device Monty evals
+    codeword: object      # (C, M) device Monty
+    tree: MerkleTree
+    n_vars: int
+
+    @property
+    def root(self) -> np.ndarray:
+        return self.tree.root
+
+
+@dataclass
+class Claim:
+    point_idx: int
+    col_idx: int
+    value: np.ndarray  # (4,) canonical
+
+
+@dataclass
+class QueryProof:
+    index: int
+    base_rows: np.ndarray   # (C, 2) canonical: rows (i, i+M/2)
+    base_paths: np.ndarray  # (2, depth, 8)
+    u_rows: list            # per committed fold level: (2, 4) canonical
+    u_paths: list           # per committed fold level: (2, depth_t, 8)
+
+
+@dataclass
+class OpeningProof:
+    sumcheck_msgs: np.ndarray  # (n, 3, 4) canonical
+    fold_roots: list           # [(8,) canonical] for committed U_t
+    tail: np.ndarray           # (S, 4) canonical in-clear codeword
+    point_evals: np.ndarray    # (K, 4): F_k(point)
+    queries: list = field(default_factory=list)
+
+
+_INV2 = bb.const(pow(2, bb.P - 2, bb.P))
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def combine_columns(cols, weights):
+    """sum_j weights[:, j] * cols[j]: (C, N) x (4, C) -> (4, N) ext."""
+
+    def body(carry, xs):
+        w, col = xs  # (4,), (N,)
+        contrib = jnp.stack([bb.mul(w[i], col) for i in range(4)])
+        return ext4.add(carry, contrib), None
+
+    init = jnp.zeros((4, cols.shape[1]), bb.DTYPE)
+    acc, _ = jax.lax.scan(body, init, (weights.T, cols))
+    return acc
+
+
+@jax.jit
+def fold_codeword(u, r, invw):
+    """One Basefold fold: (4, M) -> (4, M/2). invw (M/2,) Monty twiddles."""
+    half = u.shape[1] // 2
+    a, b = u[:, :half], u[:, half:]
+    s = ext4.add(a, b)
+    d = ext4.mul_base(ext4.sub(a, b), invw)
+    out = ext4.add(s, ext4.mul(r[:, None], d))
+    return ext4.mul_base(out, jnp.full((), _INV2, bb.DTYPE))
+
+
+def _fold_host(u: np.ndarray, r: np.ndarray, invw: np.ndarray) -> np.ndarray:
+    """Host fold on canonical (M, 4) arrays."""
+    half = u.shape[0] // 2
+    a, b = u[:half], u[half:]
+    s = exth.add(a, b)
+    d = exth.mul_base(exth.sub(a, b), invw)
+    out = exth.add(s, exth.mul(d, r[None, :]))
+    return exth.mul_base(out, np.uint64(pow(2, bb.P - 2, bb.P)))
+
+
+# ---------------------------------------------------------------------------
+# Commit
+# ---------------------------------------------------------------------------
+
+def commit(cols_dev, params: BasefoldParams = BasefoldParams()) -> Committed:
+    """cols_dev: (C, N) device Monty evals (N = 2^n). Builds codeword + tree."""
+    n = cols_dev.shape[1]
+    n_vars = n.bit_length() - 1
+    cw = ntt.encode(cols_dev, blowup_log=params.blowup_log)
+    leaves, levels = hash_and_tree(cw)
+    tree = MerkleTree.from_device(leaves, levels)
+    return Committed(cols_dev, cw, tree, n_vars)
+
+
+# ---------------------------------------------------------------------------
+# Open
+# ---------------------------------------------------------------------------
+
+def _claim_weights(claims: list[Claim], n_points: int, n_cols: int, gamma):
+    """c_jk weight matrix (K, C, 4) canonical; batched claim value."""
+    w = np.zeros((n_points, n_cols, 4), np.uint64)
+    batched = np.zeros(4, np.uint64)
+    cur = exth.one()
+    for cl in claims:
+        w[cl.point_idx, cl.col_idx] = cur
+        batched = exth.add(batched, exth.mul(cur, np.asarray(cl.value, np.uint64)))
+        cur = exth.mul(cur, gamma)
+    return w, batched
+
+
+def open_batch(
+    committed: Committed,
+    points: np.ndarray,  # (K, n, 4) canonical, LSB-first
+    claims: list[Claim],
+    transcript: Transcript,
+    params: BasefoldParams = BasefoldParams(),
+) -> OpeningProof:
+    n_vars = committed.n_vars
+    n = 1 << n_vars
+    m = n << params.blowup_log
+    n_cols = committed.cols.shape[0]
+    k = points.shape[0]
+
+    gamma = np.array(transcript.sample_ext(), np.uint64)
+    w, _ = _claim_weights(claims, k, n_cols, gamma)
+
+    # per-point combined columns F_k and eq columns
+    ext_cols = []
+    for kk in range(k):
+        ext_cols.append(ops.build_eq_jit(jnp.asarray(bb.np_to_monty(points[kk]))))
+    w_dev = [jnp.asarray(bb.np_to_monty(w[kk].T)) for kk in range(k)]  # (4, C)
+    for kk in range(k):
+        ext_cols.append(combine_columns(committed.cols, w_dev[kk]))
+    term_list = [
+        TermSpec(exth.one(), eidx=(kk, k + kk)) for kk in range(k)
+    ]
+
+    # fold oracle U_0 = sum_k F_k's codeword = combine codewords with col sums
+    w_total = w.sum(axis=0) % np.uint64(bb.P)  # (C, 4)
+    u = combine_columns(committed.codeword, jnp.asarray(bb.np_to_monty(w_total.T)))
+
+    fold_state = {
+        "u": u,
+        "u_host": None,
+        "log_m": n_vars + params.blowup_log,
+        "dev_levels": [],   # device (4, M_t) arrays for committed levels
+        "host_levels": [],  # canonical (M_t, 4) for committed levels
+        "trees": [],
+        "tail": None,
+    }
+
+    def hook(rnd, ch):
+        cur_log = fold_state["log_m"]
+        invw = ntt.domain_pow_inv(cur_log)
+        if fold_state["u_host"] is None and (1 << cur_log) > 4 * H.HOST_N:
+            nu = fold_codeword(
+                fold_state["u"], jnp.asarray(bb.np_to_monty(ch)), jnp.asarray(bb.np_to_monty(invw))
+            )
+            fold_state["u"] = nu
+        else:
+            if fold_state["u_host"] is None:
+                fold_state["u_host"] = (
+                    bb.np_from_monty(np.asarray(fold_state["u"])).astype(np.uint64).T
+                )
+                fold_state["u"] = None
+            fold_state["u_host"] = _fold_host(fold_state["u_host"], ch, invw)
+        fold_state["log_m"] = cur_log - 1
+        new_m = 1 << fold_state["log_m"]
+        if fold_state["tail"] is not None:
+            return  # already in clear; nothing to absorb
+        if new_m <= params.stop_size or rnd == n_vars - 1:
+            if fold_state["u_host"] is None:
+                fold_state["u_host"] = (
+                    bb.np_from_monty(np.asarray(fold_state["u"])).astype(np.uint64).T
+                )
+                fold_state["u"] = None
+            fold_state["tail"] = fold_state["u_host"].copy()
+            transcript.append(fold_state["tail"].ravel())
+        else:
+            if fold_state["u_host"] is None:
+                leaves, levels = hash_and_tree(fold_state["u"].reshape(4, new_m))
+                tree = MerkleTree.from_device(leaves, levels)
+                fold_state["dev_levels"].append(fold_state["u"])
+                fold_state["host_levels"].append(None)
+            else:
+                tree = MerkleTree.build_host(fold_state["u_host"].T)
+                fold_state["dev_levels"].append(None)
+                fold_state["host_levels"].append(fold_state["u_host"])
+            fold_state["trees"].append(tree)
+            transcript.append(tree.root)
+
+    out = sc_prover.prove([], ext_cols, term_list, n_vars, transcript, round_hook=hook)
+    point_evals = out.final_ext[k : 2 * k]
+    transcript.append(point_evals.ravel())
+
+    # query phase
+    n_committed = len(fold_state["trees"])
+    idxs = [transcript.sample_base() % (m // 2) for _ in range(params.n_queries)]
+    base_pairs = np.array(
+        [[i, i + m // 2] for i in idxs], np.int32
+    ).ravel()
+    base_rows = bb.np_from_monty(
+        np.asarray(gather_rows(committed.codeword, jnp.asarray(base_pairs)))
+    ).astype(np.uint64)  # (C, 2Q)
+
+    # gather committed fold-level rows
+    level_rows = []
+    for t in range(n_committed):
+        mt = m >> (t + 1)
+        pair_idx = np.array(
+            [[i % (mt // 2), i % (mt // 2) + mt // 2] for i in idxs], np.int32
+        ).ravel()
+        if fold_state["dev_levels"][t] is not None:
+            vals = bb.np_from_monty(
+                np.asarray(gather_rows(fold_state["dev_levels"][t], jnp.asarray(pair_idx)))
+            ).astype(np.uint64).T  # (2Q, 4)
+        else:
+            vals = fold_state["host_levels"][t][pair_idx]
+        level_rows.append(vals)
+
+    queries = []
+    for qi, i in enumerate(idxs):
+        bp = np.stack(
+            [
+                committed.tree.open_path(i),
+                committed.tree.open_path(i + m // 2),
+            ]
+        )
+        u_rows, u_paths = [], []
+        for t in range(n_committed):
+            mt = m >> (t + 1)
+            p = i % (mt // 2)
+            u_rows.append(level_rows[t][2 * qi : 2 * qi + 2])
+            u_paths.append(
+                np.stack(
+                    [
+                        fold_state["trees"][t].open_path(p),
+                        fold_state["trees"][t].open_path(p + mt // 2),
+                    ]
+                )
+            )
+        queries.append(
+            QueryProof(i, base_rows[:, 2 * qi : 2 * qi + 2], bp, u_rows, u_paths)
+        )
+
+    return OpeningProof(
+        out.proof.round_msgs,
+        [t.root for t in fold_state["trees"]],
+        fold_state["tail"],
+        point_evals,
+        queries,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verify
+# ---------------------------------------------------------------------------
+
+class PCSError(Exception):
+    pass
+
+
+def verify_batch(
+    root: np.ndarray,
+    n_vars: int,
+    n_cols: int,
+    points: np.ndarray,
+    claims: list[Claim],
+    proof: OpeningProof,
+    transcript: Transcript,
+    params: BasefoldParams = BasefoldParams(),
+):
+    n = 1 << n_vars
+    m = n << params.blowup_log
+    k = points.shape[0]
+    gamma = np.array(transcript.sample_ext(), np.uint64)
+    w, batched_claim = _claim_weights(claims, k, n_cols, gamma)
+
+    n_committed = len(proof.fold_roots)
+    state = {"next_root": 0, "tail_seen": False, "chals": []}
+
+    def hook(rnd, ch):
+        state["chals"].append(ch)
+        new_m = m >> (rnd + 1)
+        if state["tail_seen"]:
+            return
+        if new_m <= params.stop_size or rnd == n_vars - 1:
+            transcript.append(np.asarray(proof.tail, np.uint64).ravel())
+            state["tail_seen"] = True
+        else:
+            transcript.append(proof.fold_roots[state["next_root"]])
+            state["next_root"] += 1
+
+    point, final_claim = sc_verifier.verify(
+        batched_claim, proof.sumcheck_msgs, n_vars, transcript, round_hook=hook
+    )
+    if state["next_root"] != n_committed:
+        raise PCSError("fold root count mismatch")
+    chals = state["chals"]
+
+    # sumcheck recombination: sum_k eq_k(point) * F_k(point)
+    acc = np.zeros(4, np.uint64)
+    for kk in range(k):
+        eq_v = exth.eq_eval(points[kk].astype(np.uint64), point.astype(np.uint64))
+        acc = exth.add(acc, exth.mul(eq_v, proof.point_evals[kk]))
+    if not np.array_equal(acc, final_claim):
+        raise PCSError("opening sumcheck recombination mismatch")
+    transcript.append(np.asarray(proof.point_evals, np.uint64).ravel())
+
+    # tail folds to the constant h(point)
+    h_r = np.zeros(4, np.uint64)
+    for kk in range(k):
+        h_r = exth.add(h_r, proof.point_evals[kk])
+    tail = np.asarray(proof.tail, np.uint64)
+    tail_rounds_done = n_committed + 1  # folds before the tail was emitted
+    tail_log = (m.bit_length() - 1) - tail_rounds_done
+    assert tail.shape[0] == 1 << tail_log, "tail size mismatch"
+    cur = tail
+    for t in range(tail_rounds_done, n_vars):
+        cur = _fold_host(cur, chals[t], ntt.domain_pow_inv(tail_log))
+        tail_log -= 1
+    if not all(np.array_equal(cur[i], h_r) for i in range(cur.shape[0])):
+        raise PCSError("final codeword is not the expected constant")
+
+    # query phase
+    w_total = w.sum(axis=0) % np.uint64(bb.P)  # (C, 4)
+    idxs = [transcript.sample_base() % (m // 2) for _ in range(params.n_queries)]
+    if [q.index for q in proof.queries] != idxs:
+        raise PCSError("query indices do not match transcript")
+    inv2 = np.uint64(pow(2, bb.P - 2, bb.P))
+    for q in proof.queries:
+        i = q.index
+        # base leaf membership
+        for s, pos in enumerate((i, i + m // 2)):
+            if not verify_path(root, pos, q.base_rows[:, s], q.base_paths[s]):
+                raise PCSError(f"query {i}: base Merkle path invalid at {pos}")
+        # U_0 pair from base rows
+        pair = []
+        for s in range(2):
+            v = np.zeros(4, np.uint64)
+            for j in range(n_cols):
+                v = exth.add(v, exth.mul_base(w_total[j], int(q.base_rows[j, s])))
+            pair.append(v)
+        cur_log = m.bit_length() - 1
+        p = i
+        for t in range(tail_rounds_done):
+            invw = ntt.domain_pow_inv(cur_log)[p]
+            a, b = pair
+            folded = exth.mul_base(
+                exth.add(
+                    exth.add(a, b),
+                    exth.mul(exth.mul_base(exth.sub(a, b), invw), chals[t]),
+                ),
+                inv2,
+            )
+            if t < n_committed:
+                rows = np.asarray(q.u_rows[t], np.uint64)
+                mt = 1 << (cur_log - 1)
+                pnext = p % (mt // 2)
+                for s, pos in enumerate((pnext, pnext + mt // 2)):
+                    if not verify_path(
+                        proof.fold_roots[t], pos, rows[s], q.u_paths[t][s]
+                    ):
+                        raise PCSError(f"query {i}: fold level {t} path invalid")
+                slot = 0 if p < mt // 2 else 1
+                if not np.array_equal(folded, rows[slot]):
+                    raise PCSError(f"query {i}: fold level {t} value mismatch")
+                pair = [rows[0], rows[1]]
+                p = pnext
+                cur_log -= 1
+            else:
+                # folded lands in the in-clear tail
+                if not np.array_equal(folded, tail[p]):
+                    raise PCSError(f"query {i}: tail value mismatch")
+                break
+    return True

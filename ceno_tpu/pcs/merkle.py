@@ -1,0 +1,124 @@
+"""Poseidon2 Merkle trees over codeword matrices.
+
+Device side builds leaf digests (sponge over each row's C column values) and
+all compression levels in one jitted program; digest levels are pulled to host
+once per commit for path extraction (the query phase is host-side, like the
+verifier). Leaf VALUES stay on device — query rows are gathered by a jitted
+program and only (C, n_queries) values cross the wire.
+
+Mirrors the Merkle layer of the reference's Basefold commitment (SURVEY.md
+§2.9 mpcs crate).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..hash import poseidon2 as p2
+
+
+@jax.jit
+def hash_and_tree(cols):
+    """cols (C, M) Monty -> (leaf_digests (8, M), levels tuple of (8, m))."""
+    c, m = cols.shape
+    state = jnp.zeros((p2.WIDTH, m), bb.DTYPE)
+    for off in range(0, max(c, 1), p2.RATE):
+        chunk = cols[off : off + p2.RATE]
+        state = state.at[: chunk.shape[0]].set(
+            bb.add(state[: chunk.shape[0]], chunk)
+        )
+        state = p2.permute_device(state)
+    leaves = state[: p2.DIGEST_ELEMS]
+    levels = []
+    cur = leaves
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        pairs = cur.reshape(p2.DIGEST_ELEMS, half, 2)
+        st = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        cur = p2.permute_device(st)[: p2.DIGEST_ELEMS]
+        levels.append(cur)
+    return leaves, tuple(levels)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gather_rows(cols, idx):
+    """cols (C, M), idx (Q,) int32 -> (C, Q) Monty values."""
+    return cols[:, idx]
+
+
+def host_hash_leaves(cols: np.ndarray) -> np.ndarray:
+    """Host mirror: cols (C, M) canonical -> (8, M) canonical digests."""
+    c, m = cols.shape
+    state = np.zeros((p2.WIDTH, m), np.uint64)
+    for off in range(0, max(c, 1), p2.RATE):
+        chunk = cols[off : off + p2.RATE]
+        state[: chunk.shape[0]] = (state[: chunk.shape[0]] + chunk) % np.uint64(bb.P)
+        state = p2.permute_host(state)
+    return state[: p2.DIGEST_ELEMS]
+
+
+def host_build_levels(leaves: np.ndarray) -> list:
+    levels = []
+    cur = leaves
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        pairs = cur.reshape(p2.DIGEST_ELEMS, half, 2)
+        st = np.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        cur = p2.permute_host(st)[: p2.DIGEST_ELEMS]
+        levels.append(cur)
+    return levels
+
+
+@dataclass
+class MerkleTree:
+    """Digest data for one committed matrix. ``levels`` are host canonical."""
+
+    leaf_digests: np.ndarray  # (8, M) canonical
+    levels: list              # [(8, M/2), ..., (8, 1)] canonical
+    root: np.ndarray          # (8,) canonical
+
+    @staticmethod
+    def from_device(leaves_dev, levels_dev) -> "MerkleTree":
+        leaves = bb.np_from_monty(np.asarray(leaves_dev)).astype(np.uint64)
+        levels = [bb.np_from_monty(np.asarray(l)).astype(np.uint64) for l in levels_dev]
+        root = levels[-1][:, 0] if levels else leaves[:, 0]
+        return MerkleTree(leaves, levels, root)
+
+    @staticmethod
+    def build_host(cols_canonical: np.ndarray) -> "MerkleTree":
+        leaves = host_hash_leaves(cols_canonical)
+        levels = host_build_levels(leaves)
+        root = levels[-1][:, 0] if levels else leaves[:, 0]
+        return MerkleTree(leaves, levels, root)
+
+    def open_path(self, index: int) -> np.ndarray:
+        """Sibling digests bottom-up: (depth, 8) canonical."""
+        depth = len(self.levels) + 0
+        sibs = []
+        arrs = [self.leaf_digests] + self.levels[:-1] if self.levels else [self.leaf_digests]
+        idx = index
+        for arr in arrs:
+            sibs.append(arr[:, idx ^ 1].copy())
+            idx >>= 1
+        return np.stack(sibs) if sibs else np.zeros((0, 8), np.uint64)
+
+
+def verify_path(root: np.ndarray, index: int, leaf_values: np.ndarray, path: np.ndarray) -> bool:
+    """Check a leaf (its raw column values) against the root.
+
+    ``leaf_values``: (C,) canonical row values; ``path``: (depth, 8)."""
+    cur = p2.hash_elements_host(np.asarray(leaf_values, np.uint64))
+    idx = index
+    for sib in path:
+        if idx & 1:
+            cur = p2.compress_host(sib, cur)
+        else:
+            cur = p2.compress_host(cur, sib)
+        idx >>= 1
+    return bool(np.array_equal(cur, np.asarray(root, np.uint64)))

@@ -72,6 +72,7 @@ def prove(
     term_list: list[TermSpec],
     n_vars: int,
     transcript: Transcript,
+    round_hook=None,
 ) -> SumcheckOutput:
     """Run the sumcheck over MLE columns of size 2^n_vars.
 
@@ -132,6 +133,8 @@ def prove(
         transcript.append(ev_h.ravel())
         ch = np.array(transcript.sample_ext(), np.uint64)
         chals[rnd] = ch
+        if round_hook is not None:
+            round_hook(rnd, ch)
         if on_host:
             if merged_h is None:
                 merged_h = H.fold_banks_host(base_bank_h, ext_bank_h, ch)

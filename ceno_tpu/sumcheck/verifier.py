@@ -53,8 +53,12 @@ def verify(
     round_msgs: np.ndarray,
     n_vars: int,
     transcript: Transcript,
+    round_hook=None,
 ):
-    """Returns (point (n,4) LSB-first, final_claim (4,)). Raises on mismatch."""
+    """Returns (point (n,4) LSB-first, final_claim (4,)). Raises on mismatch.
+
+    ``round_hook(rnd, challenge)`` replays any prover-side per-round transcript
+    absorption (e.g. Basefold fold-oracle roots)."""
     claim = np.asarray(claim, np.uint64)
     chals = np.zeros((n_vars, 4), np.uint64)
     for rnd in range(n_vars):
@@ -67,5 +71,7 @@ def verify(
         transcript.append(msg.ravel())
         ch = np.array(transcript.sample_ext(), np.uint64)
         chals[rnd] = ch
+        if round_hook is not None:
+            round_hook(rnd, ch)
         claim = lagrange_extrapolate(msg, ch)
     return chals[::-1].copy(), claim
