@@ -1,0 +1,463 @@
+"""Per-chip compilation, record inference, proving and verification.
+
+Role mirror of the reference's per-chip pipeline (SURVEY.md §3.2): a compiled
+chip = circuit expressions expanded ONCE into monomial terms (like
+``ZerocheckLayer::build_static_expression``); per shard the prover
+  1. evaluates record expressions over the committed witness on device
+     (``build_main_witness`` mirror),
+  2. proves their grand products / logup sums with the tower
+     (``prove_tower_relation`` mirror),
+  3. proves the main zerocheck at the tower's final point: all record claims
+     (shape sel_eq*(rec-1) = claim-1) plus named zero constraints, batched
+     with alpha powers (``prove_main_constraints`` mirror),
+and hands the witness-column evaluations at the sumcheck's point to the PCS
+opening stage. The verifier replays everything on host, evaluating selector
+and structural columns analytically (SelectorType::Prefix mirror).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..fields import ext4
+from ..fields import ext4_host as exth
+from ..hash.transcript import Transcript
+from ..mle import expression as E
+from ..mle import ops
+from ..sumcheck import prover as sc_prover
+from ..sumcheck import verifier as sc_verifier
+from ..sumcheck.prover import TermSpec
+from . import tower
+from .circuit_builder import CircuitBuilder, StructuralSpec
+
+
+# ---------------------------------------------------------------------------
+# Compilation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Slot:
+    kind: str  # 'prod' | 'lkq' | 'lkp_table' | 'zero'
+    name: str
+    terms: list  # list[E.Term]
+
+
+@dataclass
+class CompiledChip:
+    name: str
+    n_wit: int
+    n_fixed: int
+    structural: list  # list[StructuralSpec]
+    r_exprs: list
+    w_exprs: list
+    lk_exprs: list
+    lk_table: list
+    slots: list  # main-sumcheck slots in canonical order
+    _builder_cache: dict = field(default_factory=dict)
+
+    @property
+    def n_cols(self):
+        return self.n_wit + self.n_fixed + len(self.structural)
+
+
+def _col_index(ref, n_wit, n_fixed):
+    kind, idx = ref
+    if kind == E.WIT:
+        return idx
+    if kind == E.FIXED:
+        return n_wit + idx
+    return n_wit + n_fixed + idx
+
+
+def compile_chip(cb: CircuitBuilder) -> CompiledChip:
+    slots = []
+    for i, rec in enumerate(cb.r_records):
+        slots.append(Slot("prod", f"r{i}", E.to_terms(rec - 1)))
+    for i, rec in enumerate(cb.w_records):
+        slots.append(Slot("prod", f"w{i}", E.to_terms(rec - 1)))
+    for i, rec in enumerate(cb.lk_records):
+        slots.append(Slot("lkq", f"lk{i}", E.to_terms(rec - 1)))
+    for i, (mult, rec) in enumerate(cb.lk_table):
+        slots.append(Slot("lkp_table", f"lkt_p{i}", E.to_terms(E.Neg(mult))))
+        slots.append(Slot("lkq", f"lkt_q{i}", E.to_terms(rec - 1)))
+    for name, expr in cb.zeros:
+        slots.append(Slot("zero", name, E.to_terms(expr)))
+    return CompiledChip(
+        cb.name,
+        len(cb.wit_names),
+        len(cb.fixed_names),
+        list(cb.structural),
+        list(cb.r_records),
+        list(cb.w_records),
+        list(cb.lk_records),
+        list(cb.lk_table),
+        slots,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structural column materialization + analytic evaluation
+# ---------------------------------------------------------------------------
+
+def structural_table(spec: StructuralSpec, n: int) -> np.ndarray:
+    """Canonical values of a structural column of length n (host)."""
+    assert spec.kind == "incremental"
+    return (spec.start + spec.step * np.arange(n, dtype=np.uint64)) % np.uint64(bb.P)
+
+
+def structural_eval(spec: StructuralSpec, point: np.ndarray) -> np.ndarray:
+    """MLE eval of the structural column at canonical point (n, 4)."""
+    assert spec.kind == "incremental"
+    acc = exth.from_base(spec.start % bb.P)
+    for j in range(point.shape[0]):
+        w = (spec.step % bb.P) * pow(2, j, bb.P) % bb.P
+        acc = exth.add(acc, exth.mul_base(point[j], np.uint64(w)))
+    return acc
+
+
+def sel_prefix_sum(point: np.ndarray, k: int) -> np.ndarray:
+    """sum_{x < k} eq(point, x): MLE eval of the prefix selector (host)."""
+    n = point.shape[0]
+    one = exth.one()
+    if k >= (1 << n):  # full selector: sum of eq over the whole cube is 1
+        return one
+    result = np.zeros(4, np.uint64)
+    prefix = one
+    for j in range(n - 1, -1, -1):
+        pj = point[j].astype(np.uint64)
+        b0 = exth.sub(one, pj)
+        if (k >> j) & 1:
+            # x_j = 0 branch fully below k: lower bits free sum to 1
+            result = exth.add(result, exth.mul(prefix, b0))
+            prefix = exth.mul(prefix, pj)
+        else:
+            prefix = exth.mul(prefix, b0)
+    return result
+
+
+def sel_eq_eval(rt: np.ndarray, point: np.ndarray, k: int) -> np.ndarray:
+    """sum_{x < k} eq(rt, x) * eq(point, x): MLE of the masked-eq column."""
+    n = point.shape[0]
+    rt = rt.astype(np.uint64)
+    point = point.astype(np.uint64)
+    if k >= (1 << n):  # unmasked: reduces to eq(rt, point)
+        return exth.eq_eval(rt, point)
+    one = exth.one()
+    a = [
+        exth.add(
+            exth.mul(rt[j], point[j]),
+            exth.mul(exth.sub(one, rt[j]), exth.sub(one, point[j])),
+        )
+        for j in range(n)
+    ]
+    lower = [one]
+    for j in range(n):
+        lower.append(exth.mul(lower[-1], a[j]))  # lower[j] = prod_{l<j} a_l
+    result = np.zeros(4, np.uint64)
+    prefix = one
+    for j in range(n - 1, -1, -1):
+        b0 = exth.mul(exth.sub(one, rt[j]), exth.sub(one, point[j]))
+        b1 = exth.mul(rt[j], point[j])
+        if (k >> j) & 1:
+            result = exth.add(result, exth.mul(exth.mul(prefix, b0), lower[j]))
+            prefix = exth.mul(prefix, b1)
+        else:
+            prefix = exth.mul(prefix, b0)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Device record inference (expression evaluation over trace banks)
+# ---------------------------------------------------------------------------
+
+def _eval_expr(expr, ctx, memo):
+    key = id(expr)
+    if key in memo:
+        return memo[key]
+    wit, fixed, structural, inst, chals = ctx
+    if isinstance(expr, E.Wit):
+        out = ("b", wit[expr.idx])
+    elif isinstance(expr, E.Fix):
+        out = ("b", fixed[expr.idx])
+    elif isinstance(expr, E.Structural):
+        out = ("b", structural[expr.idx])
+    elif isinstance(expr, E.Const):
+        out = ("b", jnp.full((), bb.const(expr.value), bb.DTYPE))
+    elif isinstance(expr, E.ExtConst):
+        out = ("e", jnp.array([bb.const(v) for v in expr.value], bb.DTYPE).reshape(4, 1))
+    elif isinstance(expr, E.Challenge):
+        out = ("e", chals[expr.cid][:, None])
+    elif isinstance(expr, E.Instance):
+        out = ("b", inst[expr.idx])
+    elif isinstance(expr, E.Neg):
+        k, v = _eval_expr(expr.inner, ctx, memo)
+        out = (k, bb.neg(v))
+    elif isinstance(expr, E.Sum):
+        k, v = _eval_expr(expr.terms[0], ctx, memo)
+        for t in expr.terms[1:]:
+            k2, v2 = _eval_expr(t, ctx, memo)
+            k, v = _combine_add(k, v, k2, v2)
+        out = (k, v)
+    elif isinstance(expr, E.Prod):
+        k, v = _eval_expr(expr.factors[0], ctx, memo)
+        for f in expr.factors[1:]:
+            k2, v2 = _eval_expr(f, ctx, memo)
+            k, v = _combine_mul(k, v, k2, v2)
+        out = (k, v)
+    else:
+        raise TypeError(type(expr))
+    memo[key] = out
+    return out
+
+
+def _promote(v):
+    z = jnp.zeros_like(v)
+    return jnp.stack([v, z, z, z])
+
+
+def _combine_add(k1, v1, k2, v2):
+    if k1 == "b" and k2 == "b":
+        return "b", bb.add(v1, v2)
+    if k1 == "b":
+        v1 = _promote(v1)
+    if k2 == "b":
+        v2 = _promote(v2)
+    return "e", ext4.add(v1, v2)
+
+
+def _combine_mul(k1, v1, k2, v2):
+    if k1 == "b" and k2 == "b":
+        return "b", bb.mul(v1, v2)
+    if k1 == "b":
+        return "e", ext4.mul_base(v2, v1)
+    if k2 == "b":
+        return "e", ext4.mul_base(v1, v2)
+    return "e", ext4.mul(v1, v2)
+
+
+def _as_ext_n(kind, v, n):
+    if kind == "b":
+        v = _promote(v)
+    if v.shape[-1] != n:
+        v = jnp.broadcast_to(v[..., :1], (4, n))
+    return v
+
+
+def make_record_builder(compiled: CompiledChip):
+    """Jitted fn: (wit, fixed, structural, inst, chals, num_instances) ->
+    (prod_records tuple, logup_p tuple, logup_q tuple).
+
+    Tower inputs use the padding contract from circuit_builder.py."""
+
+    def build(wit, fixed, structural, inst, chals, num_instances):
+        n = wit.shape[1] if compiled.n_wit else structural.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        sel = jnp.where(iota < num_instances, jnp.uint32(bb.MONTY_ONE), jnp.uint32(0))
+        ctx = (wit, fixed, structural, inst, chals)
+        memo = {}
+
+        def padded(expr):
+            k, v = _eval_expr(expr, ctx, memo)
+            v = _as_ext_n(k, v, n)
+            # sel*(rec-1) + 1
+            one = jnp.full((), bb.MONTY_ONE, bb.DTYPE)
+            rec_m1 = v.at[0].set(bb.sub(v[0], one))
+            out = ext4.mul_base(rec_m1, sel)
+            return out.at[0].set(bb.add(out[0], one))
+
+        prods = tuple(padded(e) for e in compiled.r_exprs + compiled.w_exprs)
+        ps, qs = [], []
+        for e in compiled.lk_exprs:
+            ps.append(_promote(sel))
+            qs.append(padded(e))
+        for mult, rec in compiled.lk_table:
+            k, v = _eval_expr(E.Neg(mult), ctx, memo)
+            v = _as_ext_n(k, v, n)
+            ps.append(ext4.mul_base(v, sel))
+            qs.append(padded(rec))
+        return prods, tuple(ps), tuple(qs)
+
+    return jax.jit(build)
+
+
+# ---------------------------------------------------------------------------
+# Chip proof
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ChipProof:
+    num_instances: int
+    n_vars: int
+    tower_proof: tower.TowerProof
+    main_msgs: np.ndarray
+    wit_evals: np.ndarray        # (n_wit, 4) at main point
+    fixed_evals: np.ndarray      # (n_fixed, 4)
+    structural_evals: np.ndarray  # (n_structural, 4)
+
+
+@dataclass
+class ChipOpening:
+    """Claims handed to the PCS stage."""
+
+    point: np.ndarray       # (n_vars, 4) canonical
+    wit_evals: np.ndarray   # (n_wit, 4)
+    fixed_evals: np.ndarray
+
+
+def prove_chip(
+    compiled: CompiledChip,
+    wit_dev,          # (n_wit, N) device Monty
+    fixed_dev,        # (n_fixed, N)
+    structural_dev,   # (n_struct, N)
+    instances: np.ndarray,  # canonical public values (host)
+    num_instances: int,
+    challenges: np.ndarray,  # (2, 4) canonical alpha, beta
+    transcript: Transcript,
+):
+    n = wit_dev.shape[1]
+    n_vars = n.bit_length() - 1
+    builder = compiled._builder_cache.get("rb")
+    if builder is None:
+        builder = make_record_builder(compiled)
+        compiled._builder_cache["rb"] = builder
+    chals_dev = jnp.asarray(bb.np_to_monty(challenges))
+    inst_dev = jnp.asarray(
+        bb.np_to_monty(np.asarray(instances, np.uint64).astype(np.uint32))
+    )
+    prods, ps, qs = builder(
+        wit_dev, fixed_dev, structural_dev, inst_dev, chals_dev, num_instances
+    )
+    tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
+        list(prods), list(zip(ps, qs)), transcript
+    )
+
+    alphas = transcript.sample_ext_pows(len(compiled.slots))
+    # masked eq column sel_eq = eq(rt, .) * [row < num_instances]
+    sel_eq = _masked_eq(jnp.asarray(bb.np_to_monty(rt)), num_instances, n)
+
+    term_list = []
+    for i, slot in enumerate(compiled.slots):
+        for t in slot.terms:
+            sc = exth.mul(
+                alphas[i], E.eval_scalar(t.scalar, challenges, instances)
+            )
+            bidx = tuple(
+                _col_index(c, compiled.n_wit, compiled.n_fixed) for c in t.cols
+            )
+            term_list.append(TermSpec(sc, bidx=bidx, eidx=(0,)))
+
+    base_cols = (
+        [wit_dev[i] for i in range(compiled.n_wit)]
+        + [fixed_dev[i] for i in range(compiled.n_fixed)]
+        + [structural_dev[i] for i in range(len(compiled.structural))]
+    )
+    out = sc_prover.prove(base_cols, [sel_eq], term_list, n_vars, transcript)
+    transcript.append(out.final_base.ravel())
+
+    wit_evals = out.final_base[: compiled.n_wit]
+    fixed_evals = out.final_base[compiled.n_wit : compiled.n_wit + compiled.n_fixed]
+    structural_evals = out.final_base[compiled.n_wit + compiled.n_fixed :]
+    proof = ChipProof(
+        num_instances, n_vars, tower_proof, out.proof.round_msgs,
+        wit_evals, fixed_evals, structural_evals,
+    )
+    opening = ChipOpening(out.point, wit_evals, fixed_evals)
+    return proof, opening
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _masked_eq(rt, num_instances, n: int):
+    eq = ops.build_eq(rt)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    return jnp.where(iota[None, :] < num_instances, eq, jnp.uint32(0))
+
+
+class ChipError(Exception):
+    pass
+
+
+def verify_chip(
+    compiled: CompiledChip,
+    proof: ChipProof,
+    instances: np.ndarray,   # canonical public values
+    challenges: np.ndarray,  # (2, 4) canonical
+    transcript: Transcript,
+):
+    """Returns (opening: ChipOpening, prod_values (S_p,4), logup_fracs (S_l,2,4)).
+
+    prod_values feed the global prod(R) == prod(W) check; logup_fracs the
+    global logup sum. Raises ChipError on any failure."""
+    n_vars = proof.n_vars
+    k = proof.num_instances
+    rt, prod_claims, logup_claims, prod_values, logup_fracs = tower.verify_towers(
+        proof.tower_proof, n_vars, transcript
+    )
+    n_r = len(compiled.r_exprs)
+    n_w = len(compiled.w_exprs)
+    n_lk = len(compiled.lk_exprs)
+    # chip-side logup numerators are the selector: check analytically
+    sel_at_rt = sel_prefix_sum(rt, k)
+    for s in range(n_lk):
+        if not np.array_equal(logup_claims[s][0], sel_at_rt):
+            raise ChipError(f"{compiled.name}: lk numerator != selector eval")
+
+    alphas = transcript.sample_ext_pows(len(compiled.slots))
+    one = exth.one()
+    claims = []
+    si = 0
+    for i in range(n_r + n_w):
+        claims.append(exth.sub(prod_claims[i], one))
+        si += 1
+    for s in range(n_lk):
+        claims.append(exth.sub(logup_claims[s][1], one))
+        si += 1
+    for t in range(len(compiled.lk_table)):
+        s = n_lk + t
+        claims.append(logup_claims[s][0])       # p claim
+        claims.append(exth.sub(logup_claims[s][1], one))  # q claim
+        si += 2
+    for _ in range(len(compiled.slots) - si):
+        claims.append(np.zeros(4, np.uint64))   # zero constraints
+
+    batched = np.zeros(4, np.uint64)
+    for i, c in enumerate(claims):
+        batched = exth.add(batched, exth.mul(alphas[i], c))
+
+    point, final_claim = sc_verifier.verify(
+        batched, proof.main_msgs, n_vars, transcript
+    )
+    transcript.append(proof.wit_evals.ravel())
+    transcript.append(proof.fixed_evals.ravel())
+    transcript.append(proof.structural_evals.ravel())
+
+    # structural evals must match their analytic values
+    for i, spec in enumerate(compiled.structural):
+        expect = structural_eval(spec, point)
+        if not np.array_equal(proof.structural_evals[i], expect):
+            raise ChipError(f"{compiled.name}: structural column {i} eval mismatch")
+
+    # recombination at the opening point
+    col_evals = np.concatenate(
+        [proof.wit_evals, proof.fixed_evals, proof.structural_evals], axis=0
+    ) if compiled.n_cols else np.zeros((0, 4), np.uint64)
+    s_eq = sel_eq_eval(rt, point, k)
+    acc = np.zeros(4, np.uint64)
+    for i, slot in enumerate(compiled.slots):
+        slot_val = np.zeros(4, np.uint64)
+        for t in slot.terms:
+            v = E.eval_scalar(t.scalar, challenges, instances)
+            for c in t.cols:
+                v = exth.mul(v, col_evals[_col_index(c, compiled.n_wit, compiled.n_fixed)])
+            slot_val = exth.add(slot_val, v)
+        acc = exth.add(acc, exth.mul(alphas[i], slot_val))
+    if not np.array_equal(exth.mul(s_eq, acc), final_claim):
+        raise ChipError(f"{compiled.name}: main sumcheck recombination mismatch")
+
+    opening = ChipOpening(point, proof.wit_evals, proof.fixed_evals)
+    return opening, prod_values, logup_fracs

@@ -13,9 +13,16 @@ import os
 import jax
 
 if not os.environ.get("CENO_TPU_NO_CACHE"):
+    # separate cache per platform: axon's remote compiler emits CPU AOT blobs
+    # whose machine features differ from the local host's
+    _platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
     _dir = os.environ.get(
         "CENO_TPU_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache"),
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".jax_cache",
+            _platform,
+        ),
     )
     jax.config.update("jax_compilation_cache_dir", _dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
