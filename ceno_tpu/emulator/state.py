@@ -1,0 +1,299 @@
+"""VM state + step execution with trace recording.
+
+Role mirror of ``ceno_emul``'s ``VMState``/``Tracer`` (vm_state.rs:21,
+tracer.rs:298 — SURVEY.md §2.1/§3.4). Conventions copied as protocol facts:
+  * 4 subcycles per instruction, slots RS1=0, RS2=1, RD=2, MEM=3
+    (tracer.rs:306,1219-1223); cycle numbering starts at CYCLE_START.
+  * the reference Platform memory map (platform.rs:90-94): rom
+    0x0800_0000.., heap 0x1000_0000.., hints 0x2800_0000.., stack
+    0x3000_0000...
+  * ecall: code in t0 (x5); HALT = 0 with exit code in a0.
+Each step records (pc, next_pc, kind, reg/mem reads+writes with previous
+timestamps) — exactly the inputs the opcode circuits' witgen needs for
+offline memory checking.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .rv32im import decode, DecodedInsn, K, LOAD_KINDS, STORE_KINDS, BRANCH_KINDS
+
+WORD = 0xFFFFFFFF
+
+SUBCYCLE_RS1 = 0
+SUBCYCLE_RS2 = 1
+SUBCYCLE_RD = 2
+SUBCYCLE_MEM = 3
+SUBCYCLES_PER_INSN = 4
+CYCLE_START = 4  # first instruction's base timestamp; init accesses use ts 0
+
+
+@dataclass
+class Platform:
+    rom_start: int = 0x0800_0000
+    heap_start: int = 0x1000_0000
+    hints_start: int = 0x2800_0000
+    stack_start: int = 0x3000_0000
+    stack_top: int = 0x4000_0000
+
+    # ecall codes (mirror ceno_emul syscalls.rs)
+    ECALL_HALT = 0
+    ECALL_KECCAK = 0x01_01_09
+    ECALL_COMMIT = 0x01_01_20
+
+
+@dataclass
+class StepRecord:
+    cycle: int           # base timestamp (CYCLE_START + 4*step_index)
+    pc: int
+    next_pc: int
+    insn: DecodedInsn
+    rs1: tuple | None = None    # (reg, value, prev_ts)
+    rs2: tuple | None = None
+    rd: tuple | None = None     # (reg, prev_value, new_value, prev_ts)
+    mem: tuple | None = None    # (addr, prev_value, new_value, prev_ts) word-addressed
+
+
+@dataclass
+class VMState:
+    program: dict            # word_addr -> insn word
+    entry: int
+    platform: Platform = field(default_factory=Platform)
+    pc: int = 0
+    regs: list = field(default_factory=lambda: [0] * 32)
+    mem: dict = field(default_factory=dict)          # word_addr -> u32
+    reg_ts: list = field(default_factory=lambda: [0] * 32)
+    mem_ts: dict = field(default_factory=dict)       # word_addr -> ts
+    cycle: int = CYCLE_START
+    halted: bool = False
+    exit_code: int = 0
+    # init snapshots for table circuits
+    mem_init: dict = field(default_factory=dict)
+    touched: set = field(default_factory=set)
+
+    def __post_init__(self):
+        self.pc = self.entry
+        self.regs[2] = self.platform.stack_top - 0x100  # sp
+
+    # -- memory -------------------------------------------------------------
+
+    def load_word(self, addr: int) -> int:
+        waddr = addr >> 2
+        return self.mem.get(waddr, 0)
+
+    def store_word(self, addr: int, value: int) -> None:
+        self.mem[addr >> 2] = value & WORD
+
+    def init_memory(self, addr: int, value: int) -> None:
+        """Pre-execution memory image (program data, hints)."""
+        waddr = addr >> 2
+        self.mem[waddr] = value & WORD
+        self.mem_init[waddr] = value & WORD
+
+    # -- one step -----------------------------------------------------------
+
+    def step(self) -> StepRecord:
+        assert not self.halted
+        word = self.program.get(self.pc >> 2)
+        if word is None:
+            raise RuntimeError(f"pc {self.pc:#x} outside program")
+        insn = decode(word)
+        k = insn.kind
+        ts = self.cycle
+        rec = StepRecord(ts, self.pc, self.pc + 4, insn)
+
+        def read_reg(r, slot):
+            v = self.regs[r]
+            prev = self.reg_ts[r]
+            self.reg_ts[r] = ts + slot
+            return (r, v, prev)
+
+        def write_reg(r, v, slot):
+            prev_v = self.regs[r]
+            prev = self.reg_ts[r]
+            if r != 0:
+                self.regs[r] = v & WORD
+            self.reg_ts[r] = ts + slot
+            return (r, prev_v, self.regs[r], prev)
+
+        name = insn.name
+        if k in LOAD_KINDS or name == "JALR" or k in STORE_KINDS or k in BRANCH_KINDS \
+           or name in ("ADD", "SUB", "SLL", "SLT", "SLTU", "XOR", "SRL", "SRA",
+                        "OR", "AND", "MUL", "MULH", "MULHSU", "MULHU", "DIV",
+                        "DIVU", "REM", "REMU", "ADDI", "SLTI", "SLTIU", "XORI",
+                        "ORI", "ANDI", "SLLI", "SRLI", "SRAI"):
+            rec.rs1 = read_reg(insn.rs1, SUBCYCLE_RS1)
+        if k in STORE_KINDS or k in BRANCH_KINDS or name in (
+            "ADD", "SUB", "SLL", "SLT", "SLTU", "XOR", "SRL", "SRA", "OR",
+            "AND", "MUL", "MULH", "MULHSU", "MULHU", "DIV", "DIVU", "REM", "REMU",
+        ):
+            rec.rs2 = read_reg(insn.rs2, SUBCYCLE_RS2)
+
+        a = rec.rs1[1] if rec.rs1 else 0
+        b = rec.rs2[1] if rec.rs2 else 0
+        imm = insn.imm
+        sa = (a ^ 0x80000000) - 0x80000000
+        sb = (b ^ 0x80000000) - 0x80000000
+        next_pc = self.pc + 4
+        result = None
+
+        if name == "ADD":
+            result = a + b
+        elif name == "SUB":
+            result = a - b
+        elif name == "SLL":
+            result = a << (b & 31)
+        elif name == "SLT":
+            result = int(sa < sb)
+        elif name == "SLTU":
+            result = int(a < b)
+        elif name == "XOR":
+            result = a ^ b
+        elif name == "SRL":
+            result = a >> (b & 31)
+        elif name == "SRA":
+            result = sa >> (b & 31)
+        elif name == "OR":
+            result = a | b
+        elif name == "AND":
+            result = a & b
+        elif name == "MUL":
+            result = a * b
+        elif name == "MULH":
+            result = (sa * sb) >> 32
+        elif name == "MULHSU":
+            result = (sa * b) >> 32
+        elif name == "MULHU":
+            result = (a * b) >> 32
+        elif name == "DIV":
+            if b == 0:
+                result = -1
+            else:
+                q = abs(sa) // abs(sb)
+                result = q if (sa < 0) == (sb < 0) else -q
+        elif name == "DIVU":
+            result = WORD if b == 0 else a // b
+        elif name == "REM":
+            if b == 0:
+                result = sa
+            else:
+                q = abs(sa) // abs(sb)
+                if (sa < 0) != (sb < 0):
+                    q = -q
+                result = sa - q * sb
+        elif name == "REMU":
+            result = a if b == 0 else a % b
+        elif name == "ADDI":
+            result = a + imm
+        elif name == "SLTI":
+            result = int(sa < imm)
+        elif name == "SLTIU":
+            result = int(a < (imm & WORD))
+        elif name == "XORI":
+            result = a ^ (imm & WORD)
+        elif name == "ORI":
+            result = a | (imm & WORD)
+        elif name == "ANDI":
+            result = a & (imm & WORD)
+        elif name == "SLLI":
+            result = a << (imm & 31)
+        elif name == "SRLI":
+            result = a >> (imm & 31)
+        elif name == "SRAI":
+            result = sa >> (imm & 31)
+        elif name == "LUI":
+            result = imm
+        elif name == "AUIPC":
+            result = self.pc + imm
+        elif name == "JAL":
+            result = self.pc + 4
+            next_pc = self.pc + imm
+        elif name == "JALR":
+            result = self.pc + 4
+            next_pc = (a + imm) & ~1
+        elif name in ("BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU"):
+            taken = {
+                "BEQ": a == b, "BNE": a != b, "BLT": sa < sb,
+                "BGE": sa >= sb, "BLTU": a < b, "BGEU": a >= b,
+            }[name]
+            if taken:
+                next_pc = self.pc + imm
+        elif name in ("LB", "LH", "LW", "LBU", "LHU"):
+            addr = (a + imm) & WORD
+            waddr = addr >> 2
+            mval = self.mem.get(waddr, 0)
+            prev_ts = self.mem_ts.get(waddr, 0)
+            self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+            self.touched.add(waddr)
+            rec.mem = (waddr, mval, mval, prev_ts)
+            shift = (addr & 3) * 8
+            if name == "LW":
+                result = mval
+            elif name == "LBU":
+                result = (mval >> shift) & 0xFF
+            elif name == "LB":
+                result = _sext8((mval >> shift) & 0xFF)
+            elif name == "LHU":
+                result = (mval >> shift) & 0xFFFF
+            elif name == "LH":
+                result = _sext16((mval >> shift) & 0xFFFF)
+        elif name in ("SB", "SH", "SW"):
+            addr = (a + imm) & WORD
+            waddr = addr >> 2
+            prev = self.mem.get(waddr, 0)
+            prev_ts = self.mem_ts.get(waddr, 0)
+            shift = (addr & 3) * 8
+            if name == "SW":
+                new = b
+            elif name == "SH":
+                mask = 0xFFFF << shift
+                new = (prev & ~mask) | ((b & 0xFFFF) << shift)
+            else:
+                mask = 0xFF << shift
+                new = (prev & ~mask) | ((b & 0xFF) << shift)
+            self.mem[waddr] = new & WORD
+            self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+            self.touched.add(waddr)
+            rec.mem = (waddr, prev, new & WORD, prev_ts)
+        elif name == "ECALL":
+            code = self.regs[5]  # t0
+            rec.rs1 = read_reg(5, SUBCYCLE_RS1)
+            if code == Platform.ECALL_HALT:
+                self.halted = True
+                self.exit_code = self.regs[10]
+                rec.rs2 = read_reg(10, SUBCYCLE_RS2)
+                next_pc = self.pc  # halt loops
+            else:
+                raise RuntimeError(f"unsupported ecall code {code:#x}")
+        else:
+            raise RuntimeError(f"cannot execute {name}")
+
+        if result is not None:
+            rec.rd = write_reg(insn.rd, result & WORD, SUBCYCLE_RD)
+
+        rec.next_pc = next_pc
+        self.pc = next_pc
+        self.cycle += SUBCYCLES_PER_INSN
+        return rec
+
+    def run(self, max_steps: int = 1 << 24):
+        """Run to halt; returns list of StepRecords (FullTracer mirror)."""
+        records = []
+        for _ in range(max_steps):
+            if self.halted:
+                break
+            records.append(self.step())
+        return records
+
+
+def _sext8(v):
+    return (v ^ 0x80) - 0x80 & WORD
+
+
+def _sext16(v):
+    return (v ^ 0x8000) - 0x8000 & WORD
+
+
+def make_program(words: list[int], base: int = 0x0800_0000) -> dict:
+    return {(base >> 2) + i: w for i, w in enumerate(words)}
