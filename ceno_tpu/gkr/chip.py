@@ -193,6 +193,15 @@ def _eval_expr(expr, ctx, memo):
         out = ("e", jnp.array([bb.const(v) for v in expr.value], bb.DTYPE).reshape(4, 1))
     elif isinstance(expr, E.Challenge):
         out = ("e", chals[expr.cid][:, None])
+    elif isinstance(expr, E.ChallengePow):
+        pkey = ("chalpow", expr.cid, expr.power)
+        if pkey not in memo:
+            cur = chals[expr.cid][:, None]
+            for _ in range(expr.power - 1):
+                cur = ext4.mul(cur, chals[expr.cid][:, None])
+            # cache every intermediate power for sharing across records
+            memo[pkey] = ("e", cur)
+        out = memo[pkey]
     elif isinstance(expr, E.Instance):
         out = ("b", inst[expr.idx])
     elif isinstance(expr, E.Neg):
@@ -290,6 +299,59 @@ def make_record_builder(compiled: CompiledChip):
 # Chip proof
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+HOST_CHIP_N = int(_os.environ.get("CENO_TPU_HOST_N", 1 << 12))
+
+
+def _to_dev(x: np.ndarray):
+    return jnp.asarray(bb.np_to_monty(np.asarray(x, np.uint64).astype(np.uint32)))
+
+
+def _build_records_host(compiled, wit, fixed, structural, instances, challenges,
+                        k: int, n: int):
+    """Host mirror of make_record_builder: canonical numpy tower inputs."""
+    from .mock import eval_expr_host
+
+    p = np.uint64(bb.P)
+    sel = (np.arange(n) < k).astype(np.uint64)
+    memo = {}
+
+    def to_ext(kind, v):
+        if kind == "b":
+            vv = np.broadcast_to(np.atleast_1d(np.asarray(v, np.uint64)), (n,))
+            out = np.zeros((n, 4), np.uint64)
+            out[:, 0] = vv % p
+            return out
+        v = np.asarray(v, np.uint64)
+        if v.ndim == 1:  # challenge-only scalar ext
+            v = np.broadcast_to(v, (n, 4))
+        return v.copy()
+
+    def padded(expr):
+        kind, v = eval_expr_host(expr, wit, fixed, structural, instances, challenges, memo)
+        v = to_ext(kind, v)
+        v[:, 0] = (v[:, 0] + p - 1) % p
+        v = v * sel[:, None] % p
+        v[:, 0] = (v[:, 0] + 1) % p
+        return v
+
+    prods = [padded(e) for e in compiled.r_exprs + compiled.w_exprs]
+    lps = []
+    for e in compiled.lk_exprs:
+        pcol = np.zeros((n, 4), np.uint64)
+        pcol[:, 0] = sel
+        lps.append((pcol, padded(e)))
+    for mult, rec in compiled.lk_table:
+        from ..mle import expression as E
+
+        kind, v = eval_expr_host(E.Neg(mult), wit, fixed, structural, instances, challenges, memo)
+        v = to_ext(kind, v)
+        v = v * sel[:, None] % p
+        lps.append((v, padded(rec)))
+    return prods, lps
+
+
 @dataclass
 class ChipProof:
     num_instances: int
@@ -322,24 +384,44 @@ def prove_chip(
 ):
     n = wit_dev.shape[1]
     n_vars = n.bit_length() - 1
-    builder = compiled._builder_cache.get("rb")
-    if builder is None:
-        builder = make_record_builder(compiled)
-        compiled._builder_cache["rb"] = builder
-    chals_dev = jnp.asarray(bb.np_to_monty(challenges))
-    inst_dev = jnp.asarray(
-        bb.np_to_monty(np.asarray(instances, np.uint64).astype(np.uint32))
-    )
-    prods, ps, qs = builder(
-        wit_dev, fixed_dev, structural_dev, inst_dev, chals_dev, num_instances
-    )
-    tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
-        list(prods), list(zip(ps, qs)), transcript
-    )
+    use_host = n <= HOST_CHIP_N and isinstance(wit_dev, np.ndarray)
+    if use_host:
+        prods, lps = _build_records_host(
+            compiled, wit_dev, fixed_dev, structural_dev, instances,
+            challenges, num_instances, n,
+        )
+        tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
+            prods, lps, transcript
+        )
+    else:
+        if isinstance(wit_dev, np.ndarray):
+            wit_dev, fixed_dev, structural_dev = (
+                _to_dev(wit_dev), _to_dev(fixed_dev), _to_dev(structural_dev)
+            )
+        builder = compiled._builder_cache.get("rb")
+        if builder is None:
+            builder = make_record_builder(compiled)
+            compiled._builder_cache["rb"] = builder
+        chals_dev = jnp.asarray(bb.np_to_monty(challenges))
+        inst_dev = jnp.asarray(
+            bb.np_to_monty(np.asarray(instances, np.uint64).astype(np.uint32))
+        )
+        prods, ps, qs = builder(
+            wit_dev, fixed_dev, structural_dev, inst_dev, chals_dev, num_instances
+        )
+        tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
+            list(prods), list(zip(ps, qs)), transcript
+        )
 
     alphas = transcript.sample_ext_pows(len(compiled.slots))
     # masked eq column sel_eq = eq(rt, .) * [row < num_instances]
-    sel_eq = _masked_eq(jnp.asarray(bb.np_to_monty(rt)), num_instances, n)
+    if use_host:
+        from ..sumcheck import host_impl as H
+
+        sel_eq = H.build_eq_host(rt)
+        sel_eq[num_instances:] = 0
+    else:
+        sel_eq = _masked_eq(jnp.asarray(bb.np_to_monty(rt)), num_instances, n)
 
     term_list = []
     for i, slot in enumerate(compiled.slots):

@@ -46,6 +46,8 @@ LK_POW2 = 6
 LK_INSTRUCTION = 7
 LK_RANGE5 = 8
 LK_RANGE12 = 9
+LK_RANGE4 = 10
+LK_SHL = 11  # (x u16, s<16) -> (lo, hi) of x * 2^s
 
 
 @dataclass
@@ -68,6 +70,8 @@ class CircuitBuilder:
     lk_records: list = field(default_factory=list)  # chip-side lookups
     lk_table: list = field(default_factory=list)    # (mult_expr, rec_expr)
     zeros: list = field(default_factory=list)       # (name, expr)
+    lk_fields: list = field(default_factory=list)       # (tag, [field exprs])
+    lk_table_fields: list = field(default_factory=list)  # (tag, [field exprs])
 
     # -- columns ------------------------------------------------------------
 
@@ -88,10 +92,8 @@ class CircuitBuilder:
     def rlc(self, fields: list) -> E.Expr:
         """alpha + sum_i beta^{i+1} * field_i (record compression)."""
         acc = ALPHA
-        beta_pow = BETA
-        for f in fields:
-            acc = acc + beta_pow * E._lift(f)
-            beta_pow = beta_pow * BETA
+        for i, f in enumerate(fields):
+            acc = acc + E.ChallengePow(1, i + 1) * E._lift(f)
         return acc
 
     def read_record(self, fields: list) -> None:
@@ -101,12 +103,16 @@ class CircuitBuilder:
         self.w_records.append(self.rlc(fields))
 
     def lk_record(self, table_tag: int, fields: list) -> None:
-        self.lk_records.append(self.rlc([E.Const(table_tag)] + list(fields)))
+        fields = [E._lift(f) for f in fields]
+        self.lk_records.append(self.rlc([E.Const(table_tag)] + fields))
+        self.lk_fields.append((table_tag, fields))
 
     def lk_table_record(self, table_tag: int, mult_expr, fields: list) -> None:
+        fields = [E._lift(f) for f in fields]
         self.lk_table.append(
-            (E._lift(mult_expr), self.rlc([E.Const(table_tag)] + list(fields)))
+            (E._lift(mult_expr), self.rlc([E.Const(table_tag)] + fields))
         )
+        self.lk_table_fields.append((table_tag, fields))
 
     # -- constraints --------------------------------------------------------
 
@@ -130,6 +136,9 @@ class CircuitBuilder:
 
     def assert_u5(self, expr) -> None:
         self.lk_record(LK_RANGE5, [expr])
+
+    def assert_u4(self, expr) -> None:
+        self.lk_record(LK_RANGE4, [expr])
 
     def assert_u12(self, expr) -> None:
         self.lk_record(LK_RANGE12, [expr])

@@ -42,6 +42,8 @@ def eval_expr_host(expr, wit, fixed, structural, instances, challenges, memo=Non
         out = ("e", np.array(expr.value, np.uint64))
     elif isinstance(expr, E.Challenge):
         out = ("e", np.asarray(challenges[expr.cid], np.uint64))
+    elif isinstance(expr, E.ChallengePow):
+        out = ("e", exth.pow_int(np.asarray(challenges[expr.cid], np.uint64), expr.power))
     elif isinstance(expr, E.Instance):
         out = ("b", np.uint64(int(instances[expr.idx]) % bb.P))
     elif isinstance(expr, E.Neg):

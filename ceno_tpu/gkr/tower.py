@@ -111,6 +111,112 @@ def _fold_two(v0, v1, r):
 # Prover
 # ---------------------------------------------------------------------------
 
+def _product_layers_host(v: np.ndarray) -> list:
+    """Host mirror of product_layers on canonical (N, 4) arrays."""
+    layers = [v]
+    while v.shape[0] > 2:
+        half = v.shape[0] // 2
+        v = exth.mul(v[:half], v[half:])
+        layers.append(v)
+    return list(reversed(layers))
+
+
+def _logup_layers_host(p: np.ndarray, q: np.ndarray):
+    ps, qs = [p], [q]
+    while p.shape[0] > 2:
+        half = p.shape[0] // 2
+        pl, pr = p[:half], p[half:]
+        ql, qr = q[:half], q[half:]
+        p = exth.add(exth.mul(pl, qr), exth.mul(pr, ql))
+        q = exth.mul(ql, qr)
+        ps.append(p)
+        qs.append(q)
+    return list(reversed(ps)), list(reversed(qs))
+
+
+def prove_towers_host(prod_records, logup_records, transcript: Transcript):
+    """All-host tower proof for canonical (N, 4) numpy records (small chips:
+    device dispatch and tracing dominate below HOST_N)."""
+    n_vars = (
+        prod_records[0].shape[0] if prod_records else logup_records[0][0].shape[0]
+    ).bit_length() - 1
+    prod_lys = [_product_layers_host(v) for v in prod_records]
+    logup_lys = [_logup_layers_host(p, q) for p, q in logup_records]
+
+    prod_out = (
+        np.stack([ls[0] for ls in prod_lys]).astype(np.uint64)
+        if prod_lys else np.zeros((0, 2, 4), np.uint64)
+    )
+    logup_out = (
+        np.stack([np.stack([pl[0], ql[0]]) for pl, ql in logup_lys]).astype(np.uint64)
+        if logup_lys else np.zeros((0, 2, 2, 4), np.uint64)
+    )
+    proof = TowerProof(prod_out, logup_out)
+    for s in range(len(prod_lys)):
+        transcript.append(prod_out[s].ravel())
+    for s in range(len(logup_lys)):
+        transcript.append(logup_out[s].ravel())
+
+    rt = np.array([transcript.sample_ext()], np.uint64)
+    prod_claims = [_fold_two(prod_out[s][0], prod_out[s][1], rt[0]) for s in range(len(prod_lys))]
+    logup_claims = [
+        [
+            _fold_two(logup_out[s][0][0], logup_out[s][0][1], rt[0]),
+            _fold_two(logup_out[s][1][0], logup_out[s][1][1], rt[0]),
+        ]
+        for s in range(len(logup_lys))
+    ]
+
+    for level in range(1, n_vars):
+        n_claims = len(prod_claims) + 2 * len(logup_claims)
+        alphas = transcript.sample_ext_pows(n_claims)
+        half = 1 << level
+        eq_col = H.build_eq_host(rt)
+        ext_cols = [eq_col]
+        term_list = []
+        a = 0
+        for s in range(len(prod_lys)):
+            nxt = prod_lys[s][level]
+            li = len(ext_cols)
+            ext_cols.extend([nxt[:half], nxt[half:]])
+            term_list.append(TermSpec(alphas[a], eidx=(0, li, li + 1)))
+            a += 1
+        for s in range(len(logup_lys)):
+            pl_, ql_ = logup_lys[s][0][level], logup_lys[s][1][level]
+            i0 = len(ext_cols)
+            ext_cols.extend([pl_[:half], pl_[half:], ql_[:half], ql_[half:]])
+            pL, pR, qL, qR = i0, i0 + 1, i0 + 2, i0 + 3
+            term_list.append(TermSpec(alphas[a], eidx=(0, pL, qR)))
+            term_list.append(TermSpec(alphas[a], eidx=(0, pR, qL)))
+            term_list.append(TermSpec(alphas[a + 1], eidx=(0, qL, qR)))
+            a += 2
+        out = sc_prover.prove([], ext_cols, term_list, level, transcript)
+        proof.round_msgs.append(out.proof.round_msgs)
+        evals = out.final_ext[1:]
+        proof.level_evals.append(evals.copy())
+        transcript.append(evals.ravel())
+        mu = np.array(transcript.sample_ext(), np.uint64)
+        rt = np.concatenate([out.point, mu[None, :]], axis=0)
+        e = 0
+        new_prod, new_logup = [], []
+        for s in range(len(prod_lys)):
+            new_prod.append(_fold_two(evals[e], evals[e + 1], mu))
+            e += 2
+        for s in range(len(logup_lys)):
+            new_logup.append(
+                [_fold_two(evals[e], evals[e + 1], mu), _fold_two(evals[e + 2], evals[e + 3], mu)]
+            )
+            e += 4
+        prod_claims, logup_claims = new_prod, new_logup
+
+    record_claims = (
+        np.stack(prod_claims) if prod_claims else np.zeros((0, 4), np.uint64),
+        np.stack([np.stack(c) for c in logup_claims])
+        if logup_claims else np.zeros((0, 2, 4), np.uint64),
+    )
+    return proof, rt, record_claims
+
+
 def prove_towers(
     prod_records: list,
     logup_records: list,
@@ -122,7 +228,12 @@ def prove_towers(
     (p, q) pairs of (4, N). All must share the same N = 2^n, n >= 1.
     Returns (TowerProof, final_point (n,4) canonical, record_claims) where
     record_claims = (prod_claims (S_p, 4), logup_claims (S_l, 2, 4)).
+    Host canonical (N, 4) numpy inputs are routed to prove_towers_host.
     """
+    if (prod_records and isinstance(prod_records[0], np.ndarray)) or (
+        logup_records and isinstance(logup_records[0][0], np.ndarray)
+    ):
+        return prove_towers_host(prod_records, logup_records, transcript)
     n_vars = ops.num_vars(prod_records[0] if prod_records else logup_records[0][0])
     prod_lys = [product_layers(v) for v in prod_records]
     logup_lys = [logup_layers(p, q) for p, q in logup_records]

@@ -176,22 +176,30 @@ def _d_internal_linear(state):
 
 
 def permute_device(state):
-    """Poseidon2 permutation on Monty uint32 state of shape (16,)+batch."""
+    """Poseidon2 permutation on Monty uint32 state of shape (16,)+batch.
+
+    Rounds run under lax.scan (round constants are the scanned input) so the
+    traced program is one round body per phase, not 21 inlined rounds —
+    load-bearing for XLA program size when Merkle trees chain many permutes.
+    """
+    import jax
+
+    ndim_tail = (1,) * (state.ndim - 1)
     st = _d_external_linear(state)
     half = ROUNDS_F // 2
-    ndim_tail = (1,) * (state.ndim - 1)
-    for r in range(half):
-        rc = jnp.asarray(_RC_EXTERNAL_M[r]).reshape((WIDTH,) + ndim_tail)
-        st = _d_sbox(bb.add(st, rc))
-        st = _d_external_linear(st)
-    for r in range(ROUNDS_P):
-        s0 = _d_sbox(bb.add(st[0], jnp.uint32(_RC_INTERNAL_M[r])))
+
+    def ext_round(st, rc):
+        return _d_external_linear(_d_sbox(bb.add(st, rc.reshape((WIDTH,) + ndim_tail)))), None
+
+    def int_round(st, rc):
+        s0 = _d_sbox(bb.add(st[0], rc))
         st = st.at[0].set(s0)
-        st = _d_internal_linear(st)
-    for r in range(half, ROUNDS_F):
-        rc = jnp.asarray(_RC_EXTERNAL_M[r]).reshape((WIDTH,) + ndim_tail)
-        st = _d_sbox(bb.add(st, rc))
-        st = _d_external_linear(st)
+        return _d_internal_linear(st), None
+
+    rc_ext = jnp.asarray(_RC_EXTERNAL_M)
+    st, _ = jax.lax.scan(ext_round, st, rc_ext[:half])
+    st, _ = jax.lax.scan(int_round, st, jnp.asarray(_RC_INTERNAL_M))
+    st, _ = jax.lax.scan(ext_round, st, rc_ext[half:])
     return st
 
 

@@ -117,6 +117,21 @@ class Challenge(Expr):
 
 
 @dataclass(frozen=True)
+class ChallengePow(Expr):
+    """challenge[cid] ** power as a single leaf.
+
+    Keeps record-RLC expressions flat: evaluators compute powers once per
+    (cid, power) instead of re-tracing a chain of ext multiplications for
+    every record (load-bearing for jax tracing time in the record builder)."""
+
+    cid: int
+    power: int
+
+    def degree(self):
+        return 0
+
+
+@dataclass(frozen=True)
 class Const(Expr):
     value: int  # canonical base-field value
 
@@ -204,7 +219,7 @@ def to_terms(expr: Expr) -> list[Term]:
 def _expand(expr: Expr) -> list[tuple[Expr, tuple]]:
     if isinstance(expr, (Wit, Fix, Structural)):
         return [(ONE, (expr.ref(),))]
-    if isinstance(expr, (Const, ExtConst, Challenge, Instance)):
+    if isinstance(expr, (Const, ExtConst, Challenge, ChallengePow, Instance)):
         return [(expr, ())]
     if isinstance(expr, Neg):
         return [(Prod([Const(bb.P - 1), s]), c) for s, c in _expand(expr.inner)]
@@ -243,6 +258,8 @@ def eval_scalar(expr: Expr, challenges: np.ndarray, instances=None) -> np.ndarra
         return np.array(expr.value, np.uint64)
     if isinstance(expr, Challenge):
         return np.asarray(challenges[expr.cid], np.uint64)
+    if isinstance(expr, ChallengePow):
+        return exth.pow_int(np.asarray(challenges[expr.cid], np.uint64), expr.power)
     if isinstance(expr, Instance):
         assert instances is not None, "instance values required"
         return exth.from_base(int(instances[expr.idx]))

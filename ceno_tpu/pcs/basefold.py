@@ -129,6 +129,17 @@ def fold_codeword(u, r, invw):
     return ext4.mul_base(out, jnp.full((), _INV2, bb.DTYPE))
 
 
+def _combine_host(cols: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """sum_j weights[j] * cols[j] on host: (C, N) x (C, 4) -> (N, 4) canonical."""
+    p = np.uint64(bb.P)
+    out = np.zeros((cols.shape[1], 4), np.uint64)
+    for j in range(cols.shape[0]):
+        if not weights[j].any():
+            continue
+        out = (out + cols[j][:, None] * weights[j][None, :] % p) % p
+    return out
+
+
 def _fold_host(u: np.ndarray, r: np.ndarray, invw: np.ndarray) -> np.ndarray:
     """Host fold on canonical (M, 4) arrays."""
     half = u.shape[0] // 2
@@ -143,14 +154,32 @@ def _fold_host(u: np.ndarray, r: np.ndarray, invw: np.ndarray) -> np.ndarray:
 # Commit
 # ---------------------------------------------------------------------------
 
-def commit(cols_dev, params: BasefoldParams = BasefoldParams()) -> Committed:
-    """cols_dev: (C, N) device Monty evals (N = 2^n). Builds codeword + tree."""
-    n = cols_dev.shape[1]
+import os as _os
+
+HOST_COMMIT_N = int(_os.environ.get("CENO_TPU_HOST_N", 1 << 12))
+
+
+def commit(cols, params: BasefoldParams = BasefoldParams()) -> Committed:
+    """cols: (C, N) evals — device Monty uint32 OR host canonical uint64.
+
+    Small matrices are committed entirely on host (XLA program size and
+    compile latency dominate below HOST_COMMIT_N); the host/device choice is
+    recorded by the array type of Committed.cols and respected by open_batch.
+    """
+    n = cols.shape[1]
     n_vars = n.bit_length() - 1
-    cw = ntt.encode(cols_dev, blowup_log=params.blowup_log)
+    if n <= HOST_COMMIT_N:
+        if not isinstance(cols, np.ndarray):
+            cols = bb.np_from_monty(np.asarray(cols)).astype(np.uint64)
+        cw = ntt.np_encode(cols, blowup_log=params.blowup_log)
+        tree = MerkleTree.build_host(cw)
+        return Committed(cols, cw, tree, n_vars)
+    if isinstance(cols, np.ndarray):
+        cols = jnp.asarray(bb.np_to_monty(cols.astype(np.uint32)))
+    cw = ntt.encode(cols, blowup_log=params.blowup_log)
     leaves, levels = hash_and_tree(cw)
     tree = MerkleTree.from_device(leaves, levels)
-    return Committed(cols_dev, cw, tree, n_vars)
+    return Committed(cols, cw, tree, n_vars)
 
 
 # ---------------------------------------------------------------------------
@@ -184,25 +213,33 @@ def open_batch(
 
     gamma = np.array(transcript.sample_ext(), np.uint64)
     w, _ = _claim_weights(claims, k, n_cols, gamma)
+    on_host = isinstance(committed.cols, np.ndarray)
 
     # per-point combined columns F_k and eq columns
     ext_cols = []
-    for kk in range(k):
-        ext_cols.append(ops.build_eq_jit(jnp.asarray(bb.np_to_monty(points[kk]))))
-    w_dev = [jnp.asarray(bb.np_to_monty(w[kk].T)) for kk in range(k)]  # (4, C)
-    for kk in range(k):
-        ext_cols.append(combine_columns(committed.cols, w_dev[kk]))
+    w_total = w.sum(axis=0) % np.uint64(bb.P)  # (C, 4)
+    if on_host:
+        for kk in range(k):
+            ext_cols.append(H.build_eq_host(points[kk].astype(np.uint64)))
+        for kk in range(k):
+            ext_cols.append(_combine_host(committed.cols, w[kk]))
+        u = None
+        u_host = _combine_host(committed.codeword, w_total)
+    else:
+        for kk in range(k):
+            ext_cols.append(ops.build_eq_jit(jnp.asarray(bb.np_to_monty(points[kk]))))
+        w_dev = [jnp.asarray(bb.np_to_monty(w[kk].T)) for kk in range(k)]  # (4, C)
+        for kk in range(k):
+            ext_cols.append(combine_columns(committed.cols, w_dev[kk]))
+        u = combine_columns(committed.codeword, jnp.asarray(bb.np_to_monty(w_total.T)))
+        u_host = None
     term_list = [
         TermSpec(exth.one(), eidx=(kk, k + kk)) for kk in range(k)
     ]
 
-    # fold oracle U_0 = sum_k F_k's codeword = combine codewords with col sums
-    w_total = w.sum(axis=0) % np.uint64(bb.P)  # (C, 4)
-    u = combine_columns(committed.codeword, jnp.asarray(bb.np_to_monty(w_total.T)))
-
     fold_state = {
         "u": u,
-        "u_host": None,
+        "u_host": u_host,
         "log_m": n_vars + params.blowup_log,
         "dev_levels": [],   # device (4, M_t) arrays for committed levels
         "host_levels": [],  # canonical (M_t, 4) for committed levels
@@ -260,9 +297,12 @@ def open_batch(
     base_pairs = np.array(
         [[i, i + m // 2] for i in idxs], np.int32
     ).ravel()
-    base_rows = bb.np_from_monty(
-        np.asarray(gather_rows(committed.codeword, jnp.asarray(base_pairs)))
-    ).astype(np.uint64)  # (C, 2Q)
+    if on_host:
+        base_rows = committed.codeword[:, base_pairs]
+    else:
+        base_rows = bb.np_from_monty(
+            np.asarray(gather_rows(committed.codeword, jnp.asarray(base_pairs)))
+        ).astype(np.uint64)  # (C, 2Q)
 
     # gather committed fold-level rows
     level_rows = []

@@ -107,6 +107,42 @@ def ntt_natural(x):
     return x
 
 
+def np_encode(evals: np.ndarray, *, blowup_log: int) -> np.ndarray:
+    """Host numpy mirror of :func:`encode` on canonical uint64 (C, N) arrays.
+
+    Used for small matrices where XLA program size/compile time dominates."""
+    p = np.uint64(bb.P)
+    c, n = evals.shape
+    log_n = n.bit_length() - 1
+    x = evals[:, bitrev_perm(log_n)].astype(np.uint64)
+    for j in range(log_n):  # mobius
+        blk = 1 << j
+        x = x.reshape(c, n // (2 * blk), 2, blk)
+        x[:, :, 1, :] = (x[:, :, 1, :] + p - x[:, :, 0, :]) % p
+        x = x.reshape(c, n)
+    m = n << blowup_log
+    padded = np.zeros((c, m), np.uint64)
+    padded[:, :n] = x
+    log_m = m.bit_length() - 1
+    x = padded[:, bitrev_perm(log_m)]
+    for s in range(log_m):
+        blk = 1 << (s + 1)
+        half = 1 << s
+        x = x.reshape(c, m // blk, blk)
+        lo = x[:, :, :half]
+        hi = x[:, :, half:]
+        w = bb.two_adic_root(s + 1)
+        tw = np.empty(half, np.uint64)
+        cur = 1
+        for k in range(half):
+            tw[k] = cur
+            cur = cur * w % bb.P
+        thi = hi * tw[None, None, :] % p
+        x = np.concatenate([(lo + thi) % p, (lo + p - thi) % p], axis=2)
+        x = x.reshape(c, m)
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("blowup_log", "reverse_vars"))
 def encode(evals, *, blowup_log: int, reverse_vars: bool = True):
     """Full Basefold encoding: (C, N) Monty evals -> (C, N << blowup_log)

@@ -13,12 +13,15 @@ same sentinel-ones last column convention as sumcheck/terms.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..fields import babybear as bb
 from ..fields import ext4_host as exth
 
-HOST_N = 1 << 12
+# crossover below which sumcheck rounds run in numpy; raise for CPU test runs
+HOST_N = int(os.environ.get("CENO_TPU_HOST_N", 1 << 12))
 
 _P = np.uint64(bb.P)
 

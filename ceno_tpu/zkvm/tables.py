@@ -1,0 +1,253 @@
+"""Table circuits: program ROM, range/shift lookup tables, RAM init/final,
+and the GlobalState bootstrap chip.
+
+Role mirror of the reference's table circuits (ceno_zkvm src/tables/,
+SURVEY.md §2.3): lookup tables provide multiplicities against chip-side
+lk_records; the register/memory tables implement RAM init/final set equality
+(NonVolatileTable mirror — round 1 uses a static memory window, the dynamic
+jagged tables come with rotation support); the GlobalChip emits the
+bootstrap write / final read of the GlobalState chain bound to public values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..fields import babybear as bb
+from ..gkr.circuit_builder import (
+    CircuitBuilder,
+    StructuralSpec,
+    RAM_GLOBAL_STATE,
+    RAM_REGISTER,
+    RAM_MEMORY,
+    LK_RANGE16,
+    LK_RANGE12,
+    LK_RANGE5,
+    LK_RANGE4,
+    LK_INSTRUCTION,
+    LK_SHL,
+)
+from ..gkr.chip import compile_chip, CompiledChip
+from ..mle import expression as E
+from ..emulator.state import Platform
+from ..emulator.rv32im import decode
+from .layout import PV_INIT_PC, PV_INIT_CYCLE, PV_END_PC, PV_END_CYCLE
+from .chips.opcodes import encode_imm
+
+MASK16 = 0xFFFF
+
+
+@dataclass
+class ZKVMConfig:
+    """Table sizing knobs (shrunk in CPU tests, full-size in production)."""
+
+    shl_x_bits: int = 16        # SHL table covers x < 2^shl_x_bits, s < 16
+    mem_words_log: int = 10     # static memory window size (words)
+    platform: Platform = field(default_factory=Platform)
+
+
+@dataclass
+class TableDef:
+    name: str
+    cb: CircuitBuilder
+    compiled: CompiledChip
+    n_rows: int                 # power of two; num_instances for the chip
+    fixed_fn: object            # () -> (n_fixed, n_rows) canonical
+    assign_fn: object           # (ctx) -> dict[str, np.ndarray]
+
+    def assign(self, ctx) -> np.ndarray:
+        cols = self.assign_fn(ctx)
+        out = np.zeros((len(self.cb.wit_names), self.n_rows), np.uint64)
+        for i, name in enumerate(self.cb.wit_names):
+            out[i] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+        return out
+
+
+@dataclass
+class WitgenCtx:
+    """Everything table witgen needs: lookup counts + final VM state."""
+
+    lk_counts: dict             # tag -> {tuple: count}
+    vm: object                  # final VMState
+    program_words: dict         # word_addr -> insn word
+    config: ZKVMConfig
+
+
+def _range_table(name: str, tag: int, bits: int) -> TableDef:
+    cb = CircuitBuilder(name)
+    mult = cb.create_witin("mult")
+    val = cb.create_structural(StructuralSpec("incremental", start=0, step=1))
+    cb.lk_table_record(tag, mult, [val])
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(tag, {})
+        m = np.zeros(1 << bits, np.uint64)
+        for key, c in counts.items():
+            v = int(key[0])
+            assert v < (1 << bits), f"{name}: lookup value {v} out of range"
+            m[v] = c
+        return {"mult": m}
+
+    return TableDef(name, cb, compile_chip(cb), 1 << bits, lambda: np.zeros((0, 1 << bits), np.uint64), assign)
+
+
+def _shl_table(cfg: ZKVMConfig) -> TableDef:
+    xb = cfg.shl_x_bits
+    n = 1 << (xb + 4)
+    cb = CircuitBuilder("shl_table")
+    mult = cb.create_witin("mult")
+    x = cb.create_fixed("x")
+    s = cb.create_fixed("s")
+    lo = cb.create_fixed("lo")
+    hi = cb.create_fixed("hi")
+    cb.lk_table_record(LK_SHL, mult, [x, s, lo, hi])
+
+    def fixed():
+        idx = np.arange(n, dtype=np.uint64)
+        xv = idx >> 4
+        sv = idx & 15
+        prod = xv << sv
+        return np.stack([xv, sv, prod & MASK16, (prod >> 16) & MASK16])
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(LK_SHL, {})
+        m = np.zeros(n, np.uint64)
+        for key, c in counts.items():
+            xv, sv = int(key[0]), int(key[1])
+            assert xv < (1 << xb), f"shl: x {xv} exceeds table"
+            m[(xv << 4) | sv] = c
+        return {"mult": m}
+
+    return TableDef("shl_table", cb, compile_chip(cb), n, fixed, assign)
+
+
+def _program_table(program_words: dict) -> TableDef:
+    entries = sorted(program_words.items())
+    n = max(2, 1 << (len(entries) - 1).bit_length())
+    cb = CircuitBuilder("program")
+    mult = cb.create_witin("mult")
+    cols = [cb.create_fixed(nm) for nm in
+            ("pc", "kind", "rd", "rs1", "rs2", "imm_lo", "imm_hi", "imm_f")]
+    cb.lk_table_record(LK_INSTRUCTION, mult, cols)
+
+    def fixed():
+        out = np.zeros((8, n), np.uint64)
+        for i, (waddr, word) in enumerate(entries):
+            d = decode(word)
+            il, ih, iff = encode_imm(d.kind, d.imm)
+            if d.name == "ECALL":
+                il = ih = iff = 0
+            out[:, i] = [waddr * 4, d.kind, d.rd, d.rs1, d.rs2, il, ih, iff]
+        return out
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(LK_INSTRUCTION, {})
+        m = np.zeros(n, np.uint64)
+        fx = fixed()
+        key_to_row = {tuple(int(v) for v in fx[:, i]): i for i in range(len(entries))}
+        for key, c in counts.items():
+            row = key_to_row.get(tuple(int(v) for v in key))
+            assert row is not None, f"fetch of unknown instruction {key}"
+            m[row] = c
+        return {"mult": m}
+
+    return TableDef("program", cb, compile_chip(cb), n, fixed, assign)
+
+
+def _register_table(cfg: ZKVMConfig) -> TableDef:
+    cb = CircuitBuilder("reg_table")
+    rid = cb.create_structural(StructuralSpec("incremental", start=0, step=1))
+    init_lo = cb.create_fixed("init_lo")
+    init_hi = cb.create_fixed("init_hi")
+    f_lo = cb.create_witin("final_lo")
+    f_hi = cb.create_witin("final_hi")
+    f_ts = cb.create_witin("final_ts")
+    cb.write_record([E.Const(RAM_REGISTER), rid, init_lo, init_hi, E.Const(0)])
+    cb.read_record([E.Const(RAM_REGISTER), rid, f_lo, f_hi, f_ts])
+
+    def fixed():
+        out = np.zeros((2, 32), np.uint64)
+        sp = cfg.platform.stack_top - 0x100
+        out[0, 2] = sp & MASK16
+        out[1, 2] = sp >> 16
+        return out
+
+    def assign(ctx: WitgenCtx):
+        vm = ctx.vm
+        vals = np.array(vm.regs, np.uint64)
+        ts = np.array(vm.reg_ts, np.uint64)
+        return {
+            "final_lo": vals & MASK16,
+            "final_hi": vals >> 16,
+            "final_ts": ts,
+        }
+
+    return TableDef("reg_table", cb, compile_chip(cb), 32, fixed, assign)
+
+
+def _memory_table(cfg: ZKVMConfig) -> TableDef:
+    n = 1 << cfg.mem_words_log
+    base_word = cfg.platform.heap_start >> 2
+    cb = CircuitBuilder("mem_table")
+    addr = cb.create_structural(StructuralSpec("incremental", start=base_word, step=1))
+    init_lo = cb.create_fixed("init_lo")
+    init_hi = cb.create_fixed("init_hi")
+    f_lo = cb.create_witin("final_lo")
+    f_hi = cb.create_witin("final_hi")
+    f_ts = cb.create_witin("final_ts")
+    cb.write_record([E.Const(RAM_MEMORY), addr, init_lo, init_hi, E.Const(0)])
+    cb.read_record([E.Const(RAM_MEMORY), addr, f_lo, f_hi, f_ts])
+
+    def fixed():
+        out = np.zeros((2, n), np.uint64)
+        # program-image initialized data would land here (none in round 1)
+        return out
+
+    def assign(ctx: WitgenCtx):
+        vm = ctx.vm
+        f_lo = np.zeros(n, np.uint64)
+        f_hi = np.zeros(n, np.uint64)
+        f_ts = np.zeros(n, np.uint64)
+        for waddr in vm.touched:
+            i = waddr - base_word
+            assert 0 <= i < n, f"memory access {waddr:#x} outside static window"
+            v = vm.mem.get(waddr, 0)
+            f_lo[i] = v & MASK16
+            f_hi[i] = v >> 16
+            f_ts[i] = vm.mem_ts.get(waddr, 0)
+        return {"final_lo": f_lo, "final_hi": f_hi, "final_ts": f_ts}
+
+    return TableDef("mem_table", cb, compile_chip(cb), n, fixed, assign)
+
+
+def _global_chip() -> TableDef:
+    cb = CircuitBuilder("global")
+    unused = cb.create_witin("unused")
+    cb.require_zero("unused_zero", unused)
+    cb.write_record([
+        E.Const(RAM_GLOBAL_STATE), E.Instance(PV_INIT_PC), E.Instance(PV_INIT_CYCLE)
+    ])
+    cb.read_record([
+        E.Const(RAM_GLOBAL_STATE), E.Instance(PV_END_PC), E.Instance(PV_END_CYCLE)
+    ])
+
+    def assign(ctx: WitgenCtx):
+        return {"unused": np.zeros(1, np.uint64)}
+
+    return TableDef("global", cb, compile_chip(cb), 1, lambda: np.zeros((0, 1), np.uint64), assign)
+
+
+def build_tables(program_words: dict, cfg: ZKVMConfig) -> list[TableDef]:
+    return [
+        _program_table(program_words),
+        _range_table("range16", LK_RANGE16, 16),
+        _range_table("range12", LK_RANGE12, 12),
+        _range_table("range5", LK_RANGE5, 5),
+        _range_table("range4", LK_RANGE4, 4),
+        _shl_table(cfg),
+        _register_table(cfg),
+        _memory_table(cfg),
+        _global_chip(),
+    ]

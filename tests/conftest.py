@@ -10,6 +10,9 @@ compile checks.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU tests: run protocol logic in numpy (device kernels are covered by the
+# forced-device tests and by bench/driver runs on the real TPU)
+os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 17))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

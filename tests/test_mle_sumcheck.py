@@ -138,8 +138,11 @@ def test_sumcheck_mixed_degree3():
     _roundtrip(n_vars, base_cols, ext_cols, terms)
 
 
-def test_sumcheck_large_scan_path():
-    # force the scan path (N/2 > SMALL_N)
+def test_sumcheck_large_scan_path(monkeypatch):
+    # force the DEVICE scan path even under the test-wide host threshold
+    from ceno_tpu.sumcheck import host_impl
+
+    monkeypatch.setattr(host_impl, "HOST_N", 512)
     n_vars = 13
     base_cols = [_rand_base_mle(n_vars) for _ in range(2)]
     terms = [TermSpec(exth.from_base(7), bidx=(0, 1))]

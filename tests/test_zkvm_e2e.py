@@ -1,0 +1,57 @@
+"""Full zkVM e2e: emulate -> prove -> verify (CPU backend, small params)."""
+
+import numpy as np
+import pytest
+
+from ceno_tpu.emulator import programs
+from ceno_tpu.pcs.basefold import BasefoldParams
+from ceno_tpu.zkvm.e2e import run_e2e
+from ceno_tpu.zkvm.scheme import verify, ZKVMError
+from ceno_tpu.zkvm.tables import ZKVMConfig
+
+CFG = ZKVMConfig(shl_x_bits=6, mem_words_log=7)
+PARAMS = BasefoldParams(blowup_log=1, n_queries=4, stop_size=32)
+
+
+@pytest.fixture(scope="module")
+def fib_result():
+    vm = programs.fibonacci_vm(8)
+    return run_e2e(vm, CFG, PARAMS)
+
+
+def test_fibonacci_proves_and_verifies(fib_result):
+    res = fib_result
+    assert verify(res.pk.vk, res.proof)
+
+
+def test_tampered_public_values_rejected(fib_result):
+    res = fib_result
+    import copy
+
+    bad = copy.deepcopy(res.proof)
+    bad.public_values = bad.public_values.copy()
+    bad.public_values[4] += 1  # exit code lo
+    with pytest.raises(Exception):
+        verify(res.pk.vk, bad)
+
+
+def test_tampered_chip_proof_rejected(fib_result):
+    res = fib_result
+    import copy
+
+    bad = copy.deepcopy(res.proof)
+    # corrupt a tower out eval of the first chip with instances
+    for cp in bad.chip_proofs:
+        if cp.tower_proof.prod_out.shape[0]:
+            cp.tower_proof.prod_out[0][0][0] = (
+                int(cp.tower_proof.prod_out[0][0][0]) + 1
+            ) % 2013265921
+            break
+    with pytest.raises(Exception):
+        verify(res.pk.vk, bad)
+
+
+def test_memsum_proves_and_verifies():
+    vm = programs.memsum_vm(5)
+    res = run_e2e(vm, CFG, PARAMS)
+    assert verify(res.pk.vk, res.proof)
