@@ -47,7 +47,12 @@ LK_INSTRUCTION = 7
 LK_RANGE5 = 8
 LK_RANGE12 = 9
 LK_RANGE4 = 10
-LK_SHL = 11  # (x u16, s<16) -> (lo, hi) of x * 2^s
+LK_SHL = 11   # (x u16, s<16) -> (lo, hi) of x * 2^s
+LK_SRL = 12   # (x u16, s<16) -> (x >> s, x & (2^s - 1))
+LK_POW2 = 13  # (s<=16) -> 2^s
+LK_AND8 = 14  # (a u8, b u8) -> a & b
+LK_OR8 = 15
+LK_XOR8 = 16
 
 
 @dataclass

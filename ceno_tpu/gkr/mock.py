@@ -131,24 +131,31 @@ class MockProver:
                     errors.append(
                         MockError(compiled.name, name, int(row), tuple(np.atleast_1d(val).ravel()))
                     )
+            def bump(counter, rec, mults=None):
+                _, v = eval_expr_host(rec, wit, fixed, structural, instances, chal, memo)
+                v = np.atleast_2d(np.asarray(v, np.uint64))
+                if v.shape[0] == 1:
+                    v = np.broadcast_to(v, (n, v.shape[1]))
+                v = v[:k]
+                if mults is None:
+                    uniq, cnt = np.unique(v, axis=0, return_counts=True)
+                    for row, c in zip(uniq, cnt):
+                        counter[tuple(row)] += int(c)
+                else:
+                    nz = np.nonzero(mults[:k])[0]
+                    for row in nz:
+                        counter[tuple(v[row])] += int(mults[row])
+
             for rec in cb.r_records:
-                _, v = eval_expr_host(rec, wit, fixed, structural, instances, chal, memo)
-                for row in range(k):
-                    reads[tuple(np.atleast_2d(v)[row])] += 1
+                bump(reads, rec)
             for rec in cb.w_records:
-                _, v = eval_expr_host(rec, wit, fixed, structural, instances, chal, memo)
-                for row in range(k):
-                    writes[tuple(np.atleast_2d(v)[row])] += 1
+                bump(writes, rec)
             for rec in cb.lk_records:
-                _, v = eval_expr_host(rec, wit, fixed, structural, instances, chal, memo)
-                for row in range(k):
-                    lk_used[tuple(np.atleast_2d(v)[row])] += 1
+                bump(lk_used, rec)
             for mult, rec in cb.lk_table:
-                _, v = eval_expr_host(rec, wit, fixed, structural, instances, chal, memo)
                 km, mv = eval_expr_host(mult, wit, fixed, structural, instances, chal, memo)
                 mv = np.broadcast_to(np.atleast_1d(np.asarray(mv, np.uint64)), (n,))
-                for row in range(k):
-                    lk_provided[tuple(np.atleast_2d(v)[row])] += int(mv[row])
+                bump(lk_provided, rec, mults=mv)
         if reads != writes:
             diff = (reads - writes) + (writes - reads)
             errors.append(MockError("<global>", "read/write multiset", -1, tuple(list(diff)[:2])))

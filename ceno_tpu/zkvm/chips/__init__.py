@@ -1,3 +1,8 @@
 """Opcode chip circuits + witgen."""
 
-from . import common, opcodes  # noqa: F401
+from . import common, opcodes, opcodes2  # noqa: F401
+
+
+def build_all_chips():
+    """Full opcode registry in canonical proving order (Rv32imConfig mirror)."""
+    return opcodes.build_opcode_chips() + opcodes2.build_extended_chips()

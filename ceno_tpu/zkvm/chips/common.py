@@ -145,6 +145,67 @@ def mem_word_addr(cb: CircuitBuilder, base_value_expr, imm_field_expr):
     return waddr
 
 
+def byte_decompose(cb: CircuitBuilder, name: str, lo, hi):
+    """Split u16 limbs (lo, hi) into 4 u8 bytes b0..b3 (le order)."""
+    bs = [cb.create_witin(f"{name}_b{i}") for i in range(4)]
+    cb.require_zero(f"{name}_lo_bytes", lo - bs[0] - bs[1] * 256)
+    cb.require_zero(f"{name}_hi_bytes", hi - bs[2] - bs[3] * 256)
+    for b in bs:
+        cb.assert_u8(b)
+    return bs
+
+
+def limb_ltu(cb: CircuitBuilder, name: str, a, b):
+    """[a < b] for u16-limb values a, b: bit witness + gated range lookup.
+
+    The looked-up value is lt*(b-a-1) + (1-lt)*(a-b): in [0, 2^16) only for
+    the correct bit (magnitudes < 2^17 < p, so no field-wrap ambiguity)."""
+    lt = cb.create_witin(f"{name}_lt")
+    cb.assert_bit(f"{name}_ltb", lt)
+    cb.assert_u16(lt * (b - a - 1) + (1 - lt) * (a - b))
+    return lt
+
+
+def u32_ltu(cb: CircuitBuilder, name: str, a: RegRead, b: RegRead):
+    """[a < b] unsigned over limb pairs."""
+    lt_hi = limb_ltu(cb, f"{name}_hi", a.hi, b.hi)
+    lt_lo = limb_ltu(cb, f"{name}_lo", a.lo, b.lo)
+    eq_hi = is_zero(cb, f"{name}_eqhi", a.hi - b.hi)
+    return lt_hi + eq_hi * lt_lo  # disjoint cases
+
+
+def sign_split(cb: CircuitBuilder, name: str, hi):
+    """hi = top*2^15 + rest, top bit, rest < 2^15 (checked via 2*rest u16)."""
+    top = cb.create_witin(f"{name}_top")
+    rest = cb.create_witin(f"{name}_rest")
+    cb.assert_bit(f"{name}_topb", top)
+    cb.require_zero(f"{name}_split", hi - top * (1 << 15) - rest)
+    cb.assert_u16(rest * 2)
+    return top, rest
+
+
+def u32_lts(cb: CircuitBuilder, name: str, a: RegRead, b: RegRead):
+    """[a < b] signed: flip the sign bits and compare unsigned."""
+    a_top, a_rest = sign_split(cb, f"{name}_a", a.hi)
+    b_top, b_rest = sign_split(cb, f"{name}_b", b.hi)
+    adj_a = a_rest + (1 - a_top) * (1 << 15)
+    adj_b = b_rest + (1 - b_top) * (1 << 15)
+    lt_hi = limb_ltu(cb, f"{name}_hi", adj_a, adj_b)
+    eq_hi = is_zero(cb, f"{name}_eqhi", adj_a - adj_b)
+    lt_lo = limb_ltu(cb, f"{name}_lo", a.lo, b.lo)
+    return lt_hi + eq_hi * lt_lo
+
+
+def pc_decompose(cb: CircuitBuilder, state: StateCols):
+    """pc = lo + hi*2^16 with hi u12 (pc < 2^28: unique, below p)."""
+    lo = cb.create_witin("pc_lo")
+    hi = cb.create_witin("pc_hi")
+    cb.require_zero("pc_limbs", state.pc - lo - hi * (1 << 16))
+    cb.assert_u16(lo)
+    cb.assert_u12(hi)
+    return lo, hi
+
+
 def limb_add(cb: CircuitBuilder, name: str, a_lo, a_hi, b_lo, b_hi, out_lo, out_hi, gate=None):
     """u32 add mod 2^32 in limbs with bit carries; all magnitudes < 2^17 < p."""
     c0 = cb.create_witin(f"{name}_c0")

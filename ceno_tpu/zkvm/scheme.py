@@ -29,7 +29,7 @@ from ..gkr import chip as chiplib
 from ..gkr.chip import structural_table
 from ..pcs import basefold
 from ..pcs.basefold import BasefoldParams, Claim
-from .chips.opcodes import build_opcode_chips
+from .chips import build_all_chips
 from .tables import build_tables, ZKVMConfig
 from .witgen import generate_witness, AssignedChip
 from .layout import N_PUBLIC_VALUES
@@ -106,7 +106,7 @@ def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
            params: BasefoldParams | None = None) -> ProvingKey:
     cfg = cfg or ZKVMConfig()
     params = params or BasefoldParams()
-    opcode_chips = build_opcode_chips()
+    opcode_chips = build_all_chips()
     tables = build_tables(program_words, cfg)
     metas = [ChipMeta(c.name, c.compiled, c.cb, False, None) for c in opcode_chips]
     metas += [ChipMeta(t.name, t.compiled, t.cb, True, t.n_rows) for t in tables]

@@ -24,10 +24,16 @@ from ..gkr.circuit_builder import (
     RAM_MEMORY,
     LK_RANGE16,
     LK_RANGE12,
+    LK_RANGE8,
     LK_RANGE5,
     LK_RANGE4,
     LK_INSTRUCTION,
     LK_SHL,
+    LK_SRL,
+    LK_POW2,
+    LK_AND8,
+    LK_OR8,
+    LK_XOR8,
 )
 from ..gkr.chip import compile_chip, CompiledChip
 from ..mle import expression as E
@@ -121,6 +127,89 @@ def _shl_table(cfg: ZKVMConfig) -> TableDef:
         return {"mult": m}
 
     return TableDef("shl_table", cb, compile_chip(cb), n, fixed, assign)
+
+
+def _srl_table(cfg: ZKVMConfig) -> TableDef:
+    """(x u16, s<16) -> (x >> s, x mod 2^s): right shifts + remainders."""
+    xb = cfg.shl_x_bits
+    n = 1 << (xb + 4)
+    cb = CircuitBuilder("srl_table")
+    mult = cb.create_witin("mult")
+    x = cb.create_fixed("x")
+    s = cb.create_fixed("s")
+    q = cb.create_fixed("q")
+    r = cb.create_fixed("r")
+    cb.lk_table_record(LK_SRL, mult, [x, s, q, r])
+
+    def fixed():
+        idx = np.arange(n, dtype=np.uint64)
+        xv = idx >> 4
+        sv = idx & 15
+        return np.stack([xv, sv, xv >> sv, xv & ((np.uint64(1) << sv) - 1)])
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(LK_SRL, {})
+        m = np.zeros(n, np.uint64)
+        for key, c in counts.items():
+            xv, sv = int(key[0]), int(key[1])
+            assert xv < (1 << xb), f"srl: x {xv} exceeds table"
+            m[(xv << 4) | sv] = c
+        return {"mult": m}
+
+    return TableDef("srl_table", cb, compile_chip(cb), n, fixed, assign)
+
+
+def _pow2_table() -> TableDef:
+    """s in [0, 16] -> 2^s."""
+    n = 32
+    cb = CircuitBuilder("pow2_table")
+    mult = cb.create_witin("mult")
+    s = cb.create_structural(StructuralSpec("incremental", start=0, step=1))
+    p2v = cb.create_fixed("pow")
+    cb.lk_table_record(LK_POW2, mult, [s, p2v])
+
+    def fixed():
+        out = np.zeros((1, n), np.uint64)
+        for i in range(17):
+            out[0, i] = 1 << i
+        return out
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(LK_POW2, {})
+        m = np.zeros(n, np.uint64)
+        for key, c in counts.items():
+            sv = int(key[0])
+            assert sv <= 16
+            m[sv] = c
+        return {"mult": m}
+
+    return TableDef("pow2_table", cb, compile_chip(cb), n, fixed, assign)
+
+
+def _byte_pair_table(name: str, tag: int, op) -> TableDef:
+    """(a u8, b u8) -> op(a, b): AND/OR/XOR byte tables (2^16 rows)."""
+    n = 1 << 16
+    cb = CircuitBuilder(name)
+    mult = cb.create_witin("mult")
+    a = cb.create_fixed("a")
+    b = cb.create_fixed("b")
+    o = cb.create_fixed("o")
+    cb.lk_table_record(tag, mult, [a, b, o])
+
+    def fixed():
+        idx = np.arange(n, dtype=np.uint64)
+        av = idx >> 8
+        bv = idx & 0xFF
+        return np.stack([av, bv, op(av, bv)])
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(tag, {})
+        m = np.zeros(n, np.uint64)
+        for key, c in counts.items():
+            m[(int(key[0]) << 8) | int(key[1])] = c
+        return {"mult": m}
+
+    return TableDef(name, cb, compile_chip(cb), n, fixed, assign)
 
 
 def _program_table(program_words: dict) -> TableDef:
@@ -244,9 +333,15 @@ def build_tables(program_words: dict, cfg: ZKVMConfig) -> list[TableDef]:
         _program_table(program_words),
         _range_table("range16", LK_RANGE16, 16),
         _range_table("range12", LK_RANGE12, 12),
+        _range_table("range8", LK_RANGE8, 8),
         _range_table("range5", LK_RANGE5, 5),
         _range_table("range4", LK_RANGE4, 4),
         _shl_table(cfg),
+        _srl_table(cfg),
+        _pow2_table(),
+        _byte_pair_table("and8", LK_AND8, lambda a, b: a & b),
+        _byte_pair_table("or8", LK_OR8, lambda a, b: a | b),
+        _byte_pair_table("xor8", LK_XOR8, lambda a, b: a ^ b),
         _register_table(cfg),
         _memory_table(cfg),
         _global_chip(),

@@ -58,8 +58,9 @@ def _lk_counts(cb, compiled, wit, instances, k, counts: dict):
             vals.append(np.broadcast_to(np.atleast_1d(np.asarray(v, np.uint64)), (n,)))
         tagc = counts.setdefault(tag, Counter())
         stacked = np.stack(vals, axis=1)[:k]  # (k, n_fields)
-        for row in stacked:
-            tagc[tuple(int(x) for x in row)] += 1
+        uniq, cnt = np.unique(stacked, axis=0, return_counts=True)
+        for row, c in zip(uniq, cnt):
+            tagc[tuple(int(x) for x in row)] += int(c)
 
 
 _MOCK_CHAL = np.array([[5, 7, 11, 13], [17, 19, 23, 29]], np.uint64)
