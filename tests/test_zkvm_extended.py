@@ -48,6 +48,24 @@ l4:
 sub1:
     jalr zero, 0(ra)
 after:
+    li t1, 0x1234abcd
+    li t2, 0xfff0f00f
+    mul gp, t1, t2
+    mulh s2, t1, t2
+    mulhu s3, t1, t2
+    mulhsu s4, t1, t2
+    div s5, t1, t2
+    divu s6, t1, t2
+    rem s7, t1, t2
+    remu s8, t1, t2
+    li t3, 0
+    div s9, t1, t3      # divide by zero cases
+    rem s10, t1, t3
+    divu s11, t1, t3
+    li t4, 0x80000000
+    li t5, 0xffffffff
+    div a1, t4, t5      # signed overflow case
+    rem a2, t4, t5
     li a3, {heap}
     li a4, 0xdeadbeef
     sw a4, 0(a3)
@@ -88,8 +106,21 @@ def test_torture_executes_correctly():
     for op in ("AND", "OR", "XOR", "ANDI", "ORI", "XORI", "SLT", "SLTU",
                "SLTI", "SLTIU", "SRLI", "SRAI", "BLT", "BGE", "BLTU", "BGEU",
                "AUIPC", "JAL", "JALR", "LB", "LBU", "LH", "LHU", "SB", "SH",
-               "LW", "SW", "SUB"):
+               "LW", "SW", "SUB", "MUL", "MULH", "MULHU", "MULHSU",
+               "DIV", "DIVU", "REM", "REMU"):
         assert op in kinds, f"torture guest never executed {op}"
+    # M-extension semantic spot checks vs python ints
+    t1v, t2v = 0x1234ABCD, 0xFFF0F00F
+    st1, st2 = t1v - (1 << 32) * (t1v >> 31), t2v - (1 << 32) * (t2v >> 31)
+    assert vm.regs[3] == (t1v * t2v) & 0xFFFFFFFF            # mul gp
+    assert vm.regs[18] == ((st1 * st2) >> 32) & 0xFFFFFFFF   # mulh s2
+    assert vm.regs[19] == ((t1v * t2v) >> 32) & 0xFFFFFFFF   # mulhu s3
+    assert vm.regs[20] == ((st1 * t2v) >> 32) & 0xFFFFFFFF   # mulhsu s4
+    q = abs(st1) // abs(st2)
+    assert vm.regs[21] == (-q if (st1 < 0) != (st2 < 0) else q) & 0xFFFFFFFF  # div
+    assert vm.regs[25] == 0xFFFFFFFF                         # div by zero s9
+    assert vm.regs[11] == 0x80000000                         # overflow div a1
+    assert vm.regs[12] == 0                                  # overflow rem a2
 
 
 def test_torture_proves_and_verifies():
