@@ -19,6 +19,10 @@ import subprocess
 import sys
 import time
 
+# device path only for the big chips; small chips prove faster in numpy than
+# the per-chip XLA programs can even be dispatched (see sumcheck/host_impl.py)
+os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 13))
+
 N_ITERS = 20000  # fibonacci loop iterations (~120k guest instructions)
 
 

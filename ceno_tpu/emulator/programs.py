@@ -57,6 +57,34 @@ done:
 """
 
 
+FIBONACCI_HINTED = """
+    li t3, {hints}
+    lw a0, 0(t3)    # n from the private-input (hints) region
+    li t1, 0
+    li t2, 1
+loop:
+    beq a0, zero, done
+    add t3, t1, t2
+    mv t1, t2
+    mv t2, t3
+    addi a0, a0, -1
+    j loop
+done:
+    mv a0, t1
+    li t0, 0
+    ecall
+"""
+
+
+def fibonacci_hinted_vm(n: int) -> VMState:
+    """Fibonacci with the iteration count supplied as a hint word (the
+    ceno_rt::read / CenoStdin mechanism, SURVEY.md §2.5/§2.6)."""
+    words = assemble(FIBONACCI_HINTED.format(hints=Platform.hints_start), ROM)
+    vm = VMState(make_program(words, ROM), ROM)
+    vm.init_memory(Platform.hints_start, n)
+    return vm
+
+
 def fibonacci_vm(n: int) -> VMState:
     words = assemble(FIBONACCI.format(n=n), ROM)
     return VMState(make_program(words, ROM), ROM)

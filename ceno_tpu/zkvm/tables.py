@@ -50,7 +50,9 @@ class ZKVMConfig:
     """Table sizing knobs (shrunk in CPU tests, full-size in production)."""
 
     shl_x_bits: int = 16        # SHL table covers x < 2^shl_x_bits, s < 16
-    mem_words_log: int = 10     # static memory window size (words)
+    mem_words_log: int = 10     # static heap window size (words)
+    hints_words_log: int = 8    # private-input (hints) window size (words)
+    stack_words_log: int = 8    # stack window size (words, below stack_top)
     platform: Platform = field(default_factory=Platform)
 
 
@@ -276,13 +278,22 @@ def _register_table(cfg: ZKVMConfig) -> TableDef:
     return TableDef("reg_table", cb, compile_chip(cb), 32, fixed, assign)
 
 
-def _memory_table(cfg: ZKVMConfig) -> TableDef:
-    n = 1 << cfg.mem_words_log
-    base_word = cfg.platform.heap_start >> 2
-    cb = CircuitBuilder("mem_table")
+def _memory_window_table(
+    name: str, base_word: int, words_log: int, private_init: bool
+) -> TableDef:
+    """RAM init/final table over a static word-address window.
+
+    ``private_init``: init values are witness columns (the hints region — the
+    guest's private input, ceno_rt MMIO mirror) instead of fixed columns."""
+    n = 1 << words_log
+    cb = CircuitBuilder(name)
     addr = cb.create_structural(StructuralSpec("incremental", start=base_word, step=1))
-    init_lo = cb.create_fixed("init_lo")
-    init_hi = cb.create_fixed("init_hi")
+    if private_init:
+        init_lo = cb.create_witin("init_lo")
+        init_hi = cb.create_witin("init_hi")
+    else:
+        init_lo = cb.create_fixed("init_lo")
+        init_hi = cb.create_fixed("init_hi")
     f_lo = cb.create_witin("final_lo")
     f_hi = cb.create_witin("final_hi")
     f_ts = cb.create_witin("final_ts")
@@ -290,25 +301,41 @@ def _memory_table(cfg: ZKVMConfig) -> TableDef:
     cb.read_record([E.Const(RAM_MEMORY), addr, f_lo, f_hi, f_ts])
 
     def fixed():
-        out = np.zeros((2, n), np.uint64)
-        # program-image initialized data would land here (none in round 1)
-        return out
+        return np.zeros((0 if private_init else 2, n), np.uint64)
 
     def assign(ctx: WitgenCtx):
         vm = ctx.vm
-        f_lo = np.zeros(n, np.uint64)
-        f_hi = np.zeros(n, np.uint64)
-        f_ts = np.zeros(n, np.uint64)
+        cols = {
+            "final_lo": np.zeros(n, np.uint64),
+            "final_hi": np.zeros(n, np.uint64),
+            "final_ts": np.zeros(n, np.uint64),
+        }
+        if private_init:
+            cols["init_lo"] = np.zeros(n, np.uint64)
+            cols["init_hi"] = np.zeros(n, np.uint64)
+        for waddr, v0 in vm.mem_init.items():
+            i = waddr - base_word
+            if 0 <= i < n:
+                assert private_init, (
+                    f"{name}: pre-initialized data at {waddr:#x} needs a "
+                    "private-init window (program-image fixed data: TODO)"
+                )
+                cols["init_lo"][i] = v0 & MASK16
+                cols["init_hi"][i] = v0 >> 16
+                # final defaults to init for untouched cells
+                cols["final_lo"][i] = v0 & MASK16
+                cols["final_hi"][i] = v0 >> 16
         for waddr in vm.touched:
             i = waddr - base_word
-            assert 0 <= i < n, f"memory access {waddr:#x} outside static window"
+            if not 0 <= i < n:
+                continue
             v = vm.mem.get(waddr, 0)
-            f_lo[i] = v & MASK16
-            f_hi[i] = v >> 16
-            f_ts[i] = vm.mem_ts.get(waddr, 0)
-        return {"final_lo": f_lo, "final_hi": f_hi, "final_ts": f_ts}
+            cols["final_lo"][i] = v & MASK16
+            cols["final_hi"][i] = v >> 16
+            cols["final_ts"][i] = vm.mem_ts.get(waddr, 0)
+        return cols
 
-    return TableDef("mem_table", cb, compile_chip(cb), n, fixed, assign)
+    return TableDef(name, cb, compile_chip(cb), n, fixed, assign)
 
 
 def _global_chip() -> TableDef:
@@ -343,6 +370,26 @@ def build_tables(program_words: dict, cfg: ZKVMConfig) -> list[TableDef]:
         _byte_pair_table("or8", LK_OR8, lambda a, b: a | b),
         _byte_pair_table("xor8", LK_XOR8, lambda a, b: a ^ b),
         _register_table(cfg),
-        _memory_table(cfg),
+        _memory_window_table(
+            "mem_table", cfg.platform.heap_start >> 2, cfg.mem_words_log, False
+        ),
+        _memory_window_table(
+            "hints_table", cfg.platform.hints_start >> 2, cfg.hints_words_log, True
+        ),
+        _memory_window_table(
+            "stack_table",
+            (cfg.platform.stack_top >> 2) - (1 << cfg.stack_words_log),
+            cfg.stack_words_log,
+            False,
+        ),
         _global_chip(),
+    ]
+
+
+def memory_windows(cfg: ZKVMConfig) -> list:
+    """[(base_word, n_words)] covered by the RAM tables (witgen checks this)."""
+    return [
+        (cfg.platform.heap_start >> 2, 1 << cfg.mem_words_log),
+        (cfg.platform.hints_start >> 2, 1 << cfg.hints_words_log),
+        ((cfg.platform.stack_top >> 2) - (1 << cfg.stack_words_log), 1 << cfg.stack_words_log),
     ]

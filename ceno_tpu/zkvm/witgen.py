@@ -100,6 +100,17 @@ def generate_witness(
             AssignedChip(chip.name, chip.compiled, chip.cb, wit, k, wit.shape[1], False)
         )
 
+    # every touched/initialized address must be covered by a RAM table window
+    from .tables import memory_windows
+
+    windows = memory_windows(cfg)
+    for waddr in set(vm.touched) | set(vm.mem_init):
+        if not any(b <= waddr < b + sz for b, sz in windows):
+            raise AssertionError(
+                f"memory access at word {waddr:#x} outside all RAM windows "
+                f"(grow mem/hints/stack window config)"
+            )
+
     ctx = WitgenCtx(counts, vm, None, cfg)
     for t in tables:
         wit = t.assign(ctx)

@@ -55,3 +55,12 @@ def test_memsum_proves_and_verifies():
     vm = programs.memsum_vm(5)
     res = run_e2e(vm, CFG, PARAMS)
     assert verify(res.pk.vk, res.proof)
+
+
+def test_hinted_fibonacci_proves_and_verifies():
+    from ceno_tpu.emulator.programs import fibonacci_hinted_vm, fib_expected
+
+    vm = fibonacci_hinted_vm(9)
+    res = run_e2e(vm, CFG, PARAMS)
+    assert int(res.public_values[4]) == fib_expected(9) & 0xFFFF
+    assert verify(res.pk.vk, res.proof)
