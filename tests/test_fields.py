@@ -151,3 +151,23 @@ def test_goldilocks_edge_cases():
     np.testing.assert_array_equal(m, expect)
     iv = gl.np_unpack(np.asarray(gl.inv(jnp.asarray(gl.np_pack(np.array([3], np.uint64))))))
     assert (int(iv[0]) * 3) % gl.P == 1
+
+
+def test_goldilocks_ext2():
+    from ceno_tpu.fields import goldilocks_ext2 as ge
+    n = 64
+    a0 = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    a1 = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    b0 = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    b1 = rng.integers(1, gl.P, size=n, dtype=np.uint64)
+    a = jnp.asarray(ge.np_pack(a0, a1))
+    b = jnp.asarray(ge.np_pack(b0, b1))
+    c0, c1 = ge.np_unpack(np.asarray(ge.mul(a, b)))
+    for i in (0, 1, 63):
+        e0, e1 = ge.py_mul((int(a0[i]), int(a1[i])), (int(b0[i]), int(b1[i])))
+        assert (int(c0[i]), int(c1[i])) == (e0, e1)
+    # inverse roundtrip
+    iv = ge.inv(b)
+    p0, p1 = ge.np_unpack(np.asarray(ge.mul(b, iv)))
+    np.testing.assert_array_equal(p0, np.ones(n, np.uint64))
+    np.testing.assert_array_equal(p1, np.zeros(n, np.uint64))
