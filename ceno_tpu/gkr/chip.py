@@ -43,9 +43,10 @@ from .circuit_builder import CircuitBuilder, StructuralSpec
 
 @dataclass
 class Slot:
-    kind: str  # 'prod' | 'lkq' | 'lkp_table' | 'zero'
+    kind: str  # 'prod_r' | 'prod_w' | 'lkq' | 'lkp_table' | 'zero'
     name: str
     terms: list  # list[E.Term]
+    rec: int = -1  # record index within the interleaved category
 
 
 @dataclass
@@ -77,15 +78,16 @@ def _col_index(ref, n_wit, n_fixed):
 
 def compile_chip(cb: CircuitBuilder) -> CompiledChip:
     slots = []
+    n_lk = len(cb.lk_records)
     for i, rec in enumerate(cb.r_records):
-        slots.append(Slot("prod", f"r{i}", E.to_terms(rec - 1)))
+        slots.append(Slot("prod_r", f"r{i}", E.to_terms(rec - 1), i))
     for i, rec in enumerate(cb.w_records):
-        slots.append(Slot("prod", f"w{i}", E.to_terms(rec - 1)))
+        slots.append(Slot("prod_w", f"w{i}", E.to_terms(rec - 1), i))
     for i, rec in enumerate(cb.lk_records):
-        slots.append(Slot("lkq", f"lk{i}", E.to_terms(rec - 1)))
+        slots.append(Slot("lkq", f"lk{i}", E.to_terms(rec - 1), i))
     for i, (mult, rec) in enumerate(cb.lk_table):
-        slots.append(Slot("lkp_table", f"lkt_p{i}", E.to_terms(E.Neg(mult))))
-        slots.append(Slot("lkq", f"lkt_q{i}", E.to_terms(rec - 1)))
+        slots.append(Slot("lkp_table", f"lkt_p{i}", E.to_terms(E.Neg(mult)), n_lk + i))
+        slots.append(Slot("lkq", f"lkt_q{i}", E.to_terms(rec - 1), n_lk + i))
     for name, expr in cb.zeros:
         slots.append(Slot("zero", name, E.to_terms(expr)))
     return CompiledChip(
@@ -258,11 +260,25 @@ def _as_ext_n(kind, v, n):
     return v
 
 
+def interleave_geometry(compiled: CompiledChip):
+    """(rho, R_r, R_w, R_l): shared record-index bits for the interleaved
+    towers (records are stacked record-major on TOP of the row bits, padded
+    to 2^rho per category — the reference's record interleaving,
+    scheme/utils.rs interleaving_mles_to_mles)."""
+    r_r = len(compiled.r_exprs)
+    r_w = len(compiled.w_exprs)
+    r_l = len(compiled.lk_exprs) + len(compiled.lk_table)
+    rho = max(
+        (max(r, 1) - 1).bit_length() for r in (r_r, r_w, r_l)
+    )
+    return rho, r_r, r_w, r_l
+
+
 def make_record_builder(compiled: CompiledChip):
     """Jitted fn: (wit, fixed, structural, inst, chals, num_instances) ->
-    (prod_records tuple, logup_p tuple, logup_q tuple).
-
-    Tower inputs use the padding contract from circuit_builder.py."""
+    (Mr, Mw, P, Q) interleaved record MLEs of size 2^rho * N each (or None
+    for absent categories). Padding: products 1, logup p 0, logup q 1."""
+    rho, r_r, r_w, r_l = interleave_geometry(compiled)
 
     def build(wit, fixed, structural, inst, chals, num_instances):
         n = wit.shape[1] if compiled.n_wit else structural.shape[1]
@@ -274,23 +290,35 @@ def make_record_builder(compiled: CompiledChip):
         def padded(expr):
             k, v = _eval_expr(expr, ctx, memo)
             v = _as_ext_n(k, v, n)
-            # sel*(rec-1) + 1
             one = jnp.full((), bb.MONTY_ONE, bb.DTYPE)
             rec_m1 = v.at[0].set(bb.sub(v[0], one))
             out = ext4.mul_base(rec_m1, sel)
             return out.at[0].set(bb.add(out[0], one))
 
-        prods = tuple(padded(e) for e in compiled.r_exprs + compiled.w_exprs)
-        ps, qs = [], []
-        for e in compiled.lk_exprs:
-            ps.append(_promote(sel))
-            qs.append(padded(e))
-        for mult, rec in compiled.lk_table:
-            k, v = _eval_expr(E.Neg(mult), ctx, memo)
-            v = _as_ext_n(k, v, n)
-            ps.append(ext4.mul_base(v, sel))
-            qs.append(padded(rec))
-        return prods, tuple(ps), tuple(qs)
+        def stack(recs, pad_one: bool):
+            pad_count = (1 << rho) - len(recs)
+            if pad_count:
+                padv = ext4.ones((pad_count * n,)) if pad_one else ext4.zeros((pad_count * n,))
+                recs = recs + [padv]
+            return jnp.concatenate(recs, axis=-1)
+
+        mr = stack([padded(e) for e in compiled.r_exprs], True) if r_r else None
+        mw = stack([padded(e) for e in compiled.w_exprs], True) if r_w else None
+        if r_l:
+            ps, qs = [], []
+            for e in compiled.lk_exprs:
+                ps.append(_promote(sel))
+                qs.append(padded(e))
+            for mult, rec in compiled.lk_table:
+                k, v = _eval_expr(E.Neg(mult), ctx, memo)
+                v = _as_ext_n(k, v, n)
+                ps.append(ext4.mul_base(v, sel))
+                qs.append(padded(rec))
+            p = stack(ps, False)
+            q = stack(qs, True)
+        else:
+            p = q = None
+        return mr, mw, p, q
 
     return jax.jit(build)
 
@@ -336,20 +364,39 @@ def _build_records_host(compiled, wit, fixed, structural, instances, challenges,
         v[:, 0] = (v[:, 0] + 1) % p
         return v
 
-    prods = [padded(e) for e in compiled.r_exprs + compiled.w_exprs]
-    lps = []
-    for e in compiled.lk_exprs:
-        pcol = np.zeros((n, 4), np.uint64)
-        pcol[:, 0] = sel
-        lps.append((pcol, padded(e)))
-    for mult, rec in compiled.lk_table:
-        from ..mle import expression as E
+    rho, r_r, r_w, r_l = interleave_geometry(compiled)
 
-        kind, v = eval_expr_host(E.Neg(mult), wit, fixed, structural, instances, challenges, memo)
-        v = to_ext(kind, v)
-        v = v * sel[:, None] % p
-        lps.append((v, padded(rec)))
-    return prods, lps
+    def stack(recs, pad_one: bool):
+        pad_count = (1 << rho) - len(recs)
+        if pad_count:
+            padv = np.zeros((pad_count * n, 4), np.uint64)
+            if pad_one:
+                padv[:, 0] = 1
+            recs = recs + [padv]
+        return np.concatenate(recs, axis=0)
+
+    mr = stack([padded(e) for e in compiled.r_exprs], True) if r_r else None
+    mw = stack([padded(e) for e in compiled.w_exprs], True) if r_w else None
+    if r_l:
+        ps, qs = [], []
+        for e in compiled.lk_exprs:
+            pcol = np.zeros((n, 4), np.uint64)
+            pcol[:, 0] = sel
+            ps.append(pcol)
+            qs.append(padded(e))
+        for mult, rec in compiled.lk_table:
+            from ..mle import expression as E
+
+            kind, v = eval_expr_host(E.Neg(mult), wit, fixed, structural, instances, challenges, memo)
+            v = to_ext(kind, v)
+            v = v * sel[:, None] % p
+            ps.append(v)
+            qs.append(padded(rec))
+        pcat = stack(ps, False)
+        qcat = stack(qs, True)
+    else:
+        pcat = qcat = None
+    return mr, mw, pcat, qcat
 
 
 @dataclass
@@ -386,12 +433,9 @@ def prove_chip(
     n_vars = n.bit_length() - 1
     use_host = n <= HOST_CHIP_N and isinstance(wit_dev, np.ndarray)
     if use_host:
-        prods, lps = _build_records_host(
+        mr, mw, pcat, qcat = _build_records_host(
             compiled, wit_dev, fixed_dev, structural_dev, instances,
             challenges, num_instances, n,
-        )
-        tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
-            prods, lps, transcript
         )
     else:
         if isinstance(wit_dev, np.ndarray):
@@ -406,28 +450,33 @@ def prove_chip(
         inst_dev = jnp.asarray(
             bb.np_to_monty(np.asarray(instances, np.uint64).astype(np.uint32))
         )
-        prods, ps, qs = builder(
+        mr, mw, pcat, qcat = builder(
             wit_dev, fixed_dev, structural_dev, inst_dev, chals_dev, num_instances
         )
-        tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
-            list(prods), list(zip(ps, qs)), transcript
-        )
+    prods = [m for m in (mr, mw) if m is not None]
+    lps = [(pcat, qcat)] if pcat is not None else []
+    assert prods or lps, f"{compiled.name}: chip has no records"
+    tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
+        prods, lps, transcript
+    )
 
-    alphas = transcript.sample_ext_pows(len(compiled.slots))
-    # masked eq column sel_eq = eq(rt, .) * [row < num_instances]
+    x_star = rt[:n_vars]
+    b_star = rt[n_vars:]
+    mults, _meta = _slot_multipliers(compiled, b_star, transcript)
+    # masked eq column sel_eq = eq(x*, .) * [row < num_instances]
     if use_host:
         from ..sumcheck import host_impl as H
 
-        sel_eq = H.build_eq_host(rt)
+        sel_eq = H.build_eq_host(x_star)
         sel_eq[num_instances:] = 0
     else:
-        sel_eq = _masked_eq(jnp.asarray(bb.np_to_monty(rt)), num_instances, n)
+        sel_eq = _masked_eq(jnp.asarray(bb.np_to_monty(x_star)), num_instances, n)
 
     term_list = []
     for i, slot in enumerate(compiled.slots):
         for t in slot.terms:
             sc = exth.mul(
-                alphas[i], E.eval_scalar(t.scalar, challenges, instances)
+                mults[i], E.eval_scalar(t.scalar, challenges, instances)
             )
             bidx = tuple(
                 _col_index(c, compiled.n_wit, compiled.n_fixed) for c in t.cols
@@ -453,6 +502,48 @@ def prove_chip(
     return proof, opening
 
 
+def _slot_multipliers(compiled: CompiledChip, b_star: np.ndarray, transcript):
+    """Sample the main-sumcheck batching alphas and derive per-slot scalar
+    multipliers: record slots get alpha_cat * eq(b*, rec) (the interleaved
+    claim decomposes as M(rt) = sum_r eq(b*, r) * P_r(x*)); zero-constraint
+    slots get their own alpha. Returns (mults per slot, meta dict)."""
+    from ..sumcheck import host_impl as H
+
+    rho, r_r, r_w, r_l = interleave_geometry(compiled)
+    n_zero = sum(1 for s in compiled.slots if s.kind == "zero")
+    has_r, has_w, has_l = r_r > 0, r_w > 0, r_l > 0
+    n_alpha = int(has_r) + int(has_w) + 2 * int(has_l) + n_zero
+    alphas = transcript.sample_ext_pows(n_alpha)
+    w = H.build_eq_host(np.asarray(b_star, np.uint64))  # (2^rho, 4)
+    ai = 0
+    meta = {"w": w}
+    for key, flag in (("a_r", has_r), ("a_w", has_w)):
+        meta[key] = alphas[ai] if flag else None
+        ai += int(flag)
+    if has_l:
+        meta["a_p"] = alphas[ai]
+        meta["a_q"] = alphas[ai + 1]
+        ai += 2
+    else:
+        meta["a_p"] = meta["a_q"] = None
+    zero_base = ai
+    mults = []
+    zi = 0
+    for s in compiled.slots:
+        if s.kind == "prod_r":
+            mults.append(exth.mul(meta["a_r"], w[s.rec]))
+        elif s.kind == "prod_w":
+            mults.append(exth.mul(meta["a_w"], w[s.rec]))
+        elif s.kind == "lkq":
+            mults.append(exth.mul(meta["a_q"], w[s.rec]))
+        elif s.kind == "lkp_table":
+            mults.append(exth.mul(meta["a_p"], w[s.rec]))
+        else:
+            mults.append(alphas[zero_base + zi])
+            zi += 1
+    return mults, meta
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _masked_eq(rt, num_instances, n: int):
     eq = ops.build_eq(rt)
@@ -473,43 +564,42 @@ def verify_chip(
 ):
     """Returns (opening: ChipOpening, prod_values (S_p,4), logup_fracs (S_l,2,4)).
 
-    prod_values feed the global prod(R) == prod(W) check; logup_fracs the
-    global logup sum. Raises ChipError on any failure."""
+    prod_values = [prod(reads)?, prod(writes)?] per present category;
+    logup_fracs has one (p, q) fraction when the chip has lookups. Raises
+    ChipError on any failure."""
     n_vars = proof.n_vars
     k = proof.num_instances
-    rt, prod_claims, logup_claims, prod_values, logup_fracs = tower.verify_towers(
-        proof.tower_proof, n_vars, transcript
-    )
-    n_r = len(compiled.r_exprs)
-    n_w = len(compiled.w_exprs)
+    rho, r_r, r_w, r_l = interleave_geometry(compiled)
     n_lk = len(compiled.lk_exprs)
-    # chip-side logup numerators are the selector: check analytically
-    sel_at_rt = sel_prefix_sum(rt, k)
-    for s in range(n_lk):
-        if not np.array_equal(logup_claims[s][0], sel_at_rt):
-            raise ChipError(f"{compiled.name}: lk numerator != selector eval")
-
-    alphas = transcript.sample_ext_pows(len(compiled.slots))
+    rt, prod_claims, logup_claims, prod_values, logup_fracs = tower.verify_towers(
+        proof.tower_proof, n_vars + rho, transcript
+    )
+    x_star = rt[:n_vars]
+    b_star = rt[n_vars:]
+    mults, meta = _slot_multipliers(compiled, b_star, transcript)
+    w = meta["w"]
     one = exth.one()
-    claims = []
-    si = 0
-    for i in range(n_r + n_w):
-        claims.append(exth.sub(prod_claims[i], one))
-        si += 1
-    for s in range(n_lk):
-        claims.append(exth.sub(logup_claims[s][1], one))
-        si += 1
-    for t in range(len(compiled.lk_table)):
-        s = n_lk + t
-        claims.append(logup_claims[s][0])       # p claim
-        claims.append(exth.sub(logup_claims[s][1], one))  # q claim
-        si += 2
-    for _ in range(len(compiled.slots) - si):
-        claims.append(np.zeros(4, np.uint64))   # zero constraints
 
     batched = np.zeros(4, np.uint64)
-    for i, c in enumerate(claims):
-        batched = exth.add(batched, exth.mul(alphas[i], c))
+    pi = 0
+    if r_r:
+        batched = exth.add(batched, exth.mul(meta["a_r"], exth.sub(prod_claims[pi], one)))
+        pi += 1
+    if r_w:
+        batched = exth.add(batched, exth.mul(meta["a_w"], exth.sub(prod_claims[pi], one)))
+        pi += 1
+    if r_l:
+        # chip-side lookup numerators are sel: p(rt) = sum_{chip recs} w_r * sel(x*)
+        # + (table-side main terms); move the analytic part into the claim
+        sel_v = sel_prefix_sum(x_star, k)
+        w_chip = np.zeros(4, np.uint64)
+        for i in range(n_lk):
+            w_chip = exth.add(w_chip, w[i])
+        p_claim = exth.sub(logup_claims[0][0], exth.mul(sel_v, w_chip))
+        batched = exth.add(batched, exth.mul(meta["a_p"], p_claim))
+        batched = exth.add(
+            batched, exth.mul(meta["a_q"], exth.sub(logup_claims[0][1], one))
+        )
 
     point, final_claim = sc_verifier.verify(
         batched, proof.main_msgs, n_vars, transcript
@@ -528,7 +618,7 @@ def verify_chip(
     col_evals = np.concatenate(
         [proof.wit_evals, proof.fixed_evals, proof.structural_evals], axis=0
     ) if compiled.n_cols else np.zeros((0, 4), np.uint64)
-    s_eq = sel_eq_eval(rt, point, k)
+    s_eq = sel_eq_eval(x_star, point, k)
     acc = np.zeros(4, np.uint64)
     for i, slot in enumerate(compiled.slots):
         slot_val = np.zeros(4, np.uint64)
@@ -537,7 +627,7 @@ def verify_chip(
             for c in t.cols:
                 v = exth.mul(v, col_evals[_col_index(c, compiled.n_wit, compiled.n_fixed)])
             slot_val = exth.add(slot_val, v)
-        acc = exth.add(acc, exth.mul(alphas[i], slot_val))
+        acc = exth.add(acc, exth.mul(mults[i], slot_val))
     if not np.array_equal(exth.mul(s_eq, acc), final_claim):
         raise ChipError(f"{compiled.name}: main sumcheck recombination mismatch")
 

@@ -280,11 +280,13 @@ def verify(vk: VerifyingKey, proof: ZKVMProof) -> bool:
             meta.compiled, cp, proof.public_values, challenges, t
         )
         openings.append(opening)
-        n_r = len(meta.compiled.r_exprs)
-        for i in range(n_r):
-            prod_r = exth.mul(prod_r, prod_values[i])
-        for i in range(n_r, prod_values.shape[0]):
-            prod_w = exth.mul(prod_w, prod_values[i])
+        pi = 0
+        if meta.compiled.r_exprs:
+            prod_r = exth.mul(prod_r, prod_values[pi])
+            pi += 1
+        if meta.compiled.w_exprs:
+            prod_w = exth.mul(prod_w, prod_values[pi])
+            pi += 1
         for s in range(logup_fracs.shape[0]):
             p, q = logup_fracs[s]
             logup_num = exth.add(exth.mul(logup_num, q), exth.mul(p, logup_den))

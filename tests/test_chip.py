@@ -149,11 +149,13 @@ def test_chip_prove_verify_roundtrip():
         )
         np.testing.assert_array_equal(vop.point, opening.point)
         np.testing.assert_array_equal(vop.wit_evals, opening.wit_evals)
-        n_r = len(compiled.r_exprs)
-        for i in range(n_r):
-            prod_r = exth.mul(prod_r, prod_values[i])
-        for i in range(n_r, prod_values.shape[0]):
-            prod_w = exth.mul(prod_w, prod_values[i])
+        pi = 0
+        if compiled.r_exprs:
+            prod_r = exth.mul(prod_r, prod_values[pi])
+            pi += 1
+        if compiled.w_exprs:
+            prod_w = exth.mul(prod_w, prod_values[pi])
+            pi += 1
         for s in range(logup_fracs.shape[0]):
             p, q = logup_fracs[s]
             logup_num = exth.add(exth.mul(logup_num, q), exth.mul(p, logup_den))
