@@ -1,0 +1,118 @@
+"""CLI: run / prove / verify guest programs (cargo-ceno mirror, SURVEY.md §2.7).
+
+    python -m ceno_tpu run    guest.s [--hints 1,2,3] [--max-steps N]
+    python -m ceno_tpu prove  guest.s [--hints ...] [-o proof.bin] [--profile test|prod]
+    python -m ceno_tpu verify guest.s proof.bin
+
+Guests are mini-assembler sources (ceno_tpu/emulator/rv32im.py syntax);
+hints are comma-separated u32 words placed in the private-input region.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _build_vm(path: str, hints: str):
+    from .emulator.rv32im import assemble
+    from .emulator.state import VMState, make_program, Platform
+
+    rom = Platform.rom_start
+    src = open(path).read().format(
+        heap=Platform.heap_start, hints=Platform.hints_start
+    )
+    vm = VMState(make_program(assemble(src, rom), rom), rom)
+    if hints:
+        for i, word in enumerate(int(x, 0) for x in hints.split(",")):
+            vm.init_memory(Platform.hints_start + 4 * i, word)
+    return vm
+
+
+def _profiles(name: str):
+    from .pcs.basefold import BasefoldParams
+    from .zkvm.tables import ZKVMConfig
+
+    if name == "test":
+        return ZKVMConfig(shl_x_bits=10), BasefoldParams(
+            blowup_log=1, n_queries=6, stop_size=32
+        )
+    return ZKVMConfig(), BasefoldParams()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ceno_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "prove", "verify"):
+        p = sub.add_parser(name)
+        p.add_argument("guest")
+        if name == "verify":
+            p.add_argument("proof")
+        else:
+            p.add_argument("--hints", default="")
+            p.add_argument("--max-steps", type=int, default=1 << 24)
+        if name == "prove":
+            p.add_argument("-o", "--out", default="proof.bin")
+            p.add_argument("--profile", choices=("test", "prod"), default="prod")
+    args = ap.parse_args(argv)
+
+    # the test profile proves small programs: run the whole pipeline in numpy
+    # (must be set before ceno_tpu.zkvm modules are imported)
+    if getattr(args, "profile", "test") == "test" or args.cmd == "verify":
+        import os
+
+        os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 21))
+
+    if args.cmd == "run":
+        vm = _build_vm(args.guest, args.hints)
+        records = vm.run(args.max_steps)
+        print(f"halted={vm.halted} exit_code={vm.exit_code} steps={len(records)}")
+        return 0 if vm.halted else 1
+
+    if args.cmd == "prove":
+        from .zkvm.e2e import run_e2e
+        from .zkvm.serialize import proof_to_bytes
+
+        cfg, params = _profiles(args.profile)
+        vm = _build_vm(args.guest, args.hints)
+        t0 = time.time()
+        res = run_e2e(vm, cfg, params, args.max_steps)
+        data = proof_to_bytes(res.proof, res.public_values, cfg, params)
+        with open(args.out, "wb") as f:
+            f.write(data)
+        print(
+            f"proved {res.n_steps} steps in {time.time() - t0:.1f}s -> "
+            f"{args.out} ({len(data)} bytes)"
+        )
+        return 0
+
+    # verify: re-derive the vk from the guest (keygen is deterministic)
+    from .zkvm.serialize import proof_from_bytes
+    from .zkvm.scheme import keygen, verify
+    from .emulator.state import Platform
+    from .emulator.rv32im import assemble
+    from .emulator.state import make_program
+
+    proof, pv, cfg, params = proof_from_bytes(open(args.proof, "rb").read())
+    rom = Platform.rom_start
+    src = open(args.guest).read().format(
+        heap=Platform.heap_start, hints=Platform.hints_start
+    )
+    program = make_program(assemble(src, rom), rom)
+    pk = keygen(program, cfg, params)
+    t0 = time.time()
+    ok = verify(pk.vk, proof)
+    pv = proof.public_values
+    exit_code = int(pv[4]) | (int(pv[5]) << 16)
+    print(
+        f"verify: {'OK' if ok else 'FAIL'} ({time.time() - t0:.1f}s) "
+        f"exit_code={exit_code} cycles={int(pv[3]) - int(pv[2])}"
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -171,3 +171,38 @@ def test_goldilocks_ext2():
     p0, p1 = ge.np_unpack(np.asarray(ge.mul(b, iv)))
     np.testing.assert_array_equal(p0, np.ones(n, np.uint64))
     np.testing.assert_array_equal(p1, np.zeros(n, np.uint64))
+
+
+def test_septic_field():
+    import sympy
+    from sympy.abc import x as _x
+    from ceno_tpu.fields import septic
+
+    assert sympy.Poly(_x**7 + _x - 11, _x, modulus=bb.P).is_irreducible
+    n = 8
+    a = rng.integers(1, bb.P, size=(7, n), dtype=np.uint32)
+    b = rng.integers(1, bb.P, size=(7, n), dtype=np.uint32)
+    am = jnp.asarray(bb.np_to_monty(a))
+    bm = jnp.asarray(bb.np_to_monty(b))
+    # ring laws: commutativity + distributivity (spot)
+    ab = np.asarray(septic.mul(am, bm))
+    ba = np.asarray(septic.mul(bm, am))
+    np.testing.assert_array_equal(ab, ba)
+    # vs python-int reference reduction
+    def py_mul(u, v):
+        c = [0] * 13
+        for i in range(7):
+            for j in range(7):
+                c[i + j] = (c[i + j] + int(u[i]) * int(v[j])) % bb.P
+        for k in range(12, 6, -1):
+            c[k - 7] = (c[k - 7] + 11 * c[k]) % bb.P
+            c[k - 6] = (c[k - 6] - c[k]) % bb.P
+        return [v % bb.P for v in c[:7]]
+    got = bb.np_from_monty(ab)
+    for col in (0, n - 1):
+        assert [int(v) for v in got[:, col]] == py_mul(a[:, col], b[:, col])
+    # inverse roundtrip (single element: the 217-bit pow is slow-ish)
+    one = bb.np_from_monty(
+        np.asarray(septic.mul(am[:, :1], septic.inv(am[:, :1])))
+    )
+    assert [int(v) for v in one[:, 0]] == [1, 0, 0, 0, 0, 0, 0]
