@@ -1,0 +1,316 @@
+"""ctypes binding for the native C++ rv32im emulator.
+
+Builds native/emulator.cpp on first use (cc -O2 -shared, cached next to the
+source), runs the guest at native speed, and reconstructs the same VMState +
+StepRecord structures the Python interpreter produces — witgen is agnostic to
+which backend ran. Falls back to the Python interpreter if no C++ toolchain
+is available (``native_available()``).
+
+Select with CENO_EMULATOR_BACKEND=native|python (mirror of the reference's
+CENO_EMULATOR_BACKEND=aot, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .rv32im import DecodedInsn, KINDS
+from .state import VMState, StepRecord, Platform, CYCLE_START
+
+_DIR = Path(__file__).parent / "native"
+_SO = _DIR / "libceno_emu.so"
+_LIB = None
+
+
+class _StepRow(ctypes.Structure):
+    _fields_ = [
+        ("pc", ctypes.c_uint32), ("next_pc", ctypes.c_uint32),
+        ("cycle", ctypes.c_uint32), ("kind", ctypes.c_int32),
+        ("rd", ctypes.c_int32), ("rs1", ctypes.c_int32), ("rs2", ctypes.c_int32),
+        ("imm", ctypes.c_int32),
+        ("rs1_val", ctypes.c_uint32), ("rs2_val", ctypes.c_uint32),
+        ("rd_prev", ctypes.c_uint32), ("rd_val", ctypes.c_uint32),
+        ("rs1_prev_ts", ctypes.c_uint32), ("rs2_prev_ts", ctypes.c_uint32),
+        ("rd_prev_ts", ctypes.c_uint32),
+        ("mem_waddr", ctypes.c_int64),
+        ("mem_prev", ctypes.c_uint32), ("mem_val", ctypes.c_uint32),
+        ("mem_prev_ts", ctypes.c_uint32),
+    ]
+
+
+def _build() -> bool:
+    src = _DIR / "emulator.cpp"
+    if _SO.exists() and _SO.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    for cc in ("c++", "g++", "cc"):
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", str(src), "-o", str(_SO)],
+                check=True, capture_output=True,
+            )
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return False
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        if not _build():
+            raise RuntimeError("no C++ toolchain for the native emulator")
+        lib = ctypes.CDLL(str(_SO))
+        lib.emu_new.restype = ctypes.c_void_p
+        lib.emu_new.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+        lib.emu_free.argtypes = [ctypes.c_void_p]
+        lib.emu_load_program.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32,
+            np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64,
+        ]
+        lib.emu_init_memory.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32,
+            np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64,
+        ]
+        lib.emu_run.restype = ctypes.c_int64
+        lib.emu_run.argtypes = [ctypes.c_void_p, ctypes.POINTER(_StepRow), ctypes.c_int64]
+        lib.emu_state.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_uint32)] * 2 + [
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint32)
+        ]
+        lib.emu_regs.argtypes = [
+            ctypes.c_void_p, np.ctypeslib.ndpointer(np.uint32),
+            np.ctypeslib.ndpointer(np.uint32),
+        ]
+        lib.emu_mem_count.restype = ctypes.c_int64
+        lib.emu_mem_count.argtypes = [ctypes.c_void_p]
+        lib.emu_mem_dump.argtypes = [
+            ctypes.c_void_p, np.ctypeslib.ndpointer(np.uint32),
+            np.ctypeslib.ndpointer(np.uint32), np.ctypeslib.ndpointer(np.uint32),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    try:
+        _lib()
+        return True
+    except RuntimeError:
+        return False
+
+
+def run_native(vm: VMState, max_steps: int = 1 << 24):
+    """Execute ``vm`` with the native core; mutates vm to the final state and
+    returns StepRecords equivalent to vm.run()."""
+    lib = _lib()
+    h = lib.emu_new(vm.entry, vm.regs[2])
+    try:
+        prog_items = sorted(vm.program.items())
+        base_w = prog_items[0][0]
+        words = np.zeros(prog_items[-1][0] - base_w + 1, np.uint32)
+        for w, word in prog_items:
+            words[w - base_w] = word
+        lib.emu_load_program(h, base_w << 2, words, len(words))
+        if vm.mem_init:
+            for waddr, val in sorted(vm.mem_init.items()):
+                lib.emu_init_memory(h, waddr << 2, np.array([val], np.uint32), 1)
+        # chunked execution: bounded buffer regardless of max_steps
+        chunk = 1 << 20
+        all_rows = []
+        remaining = max_steps
+        n = 0
+        while remaining > 0:
+            buf = (_StepRow * min(chunk, remaining))()
+            got = lib.emu_run(h, buf, len(buf))
+            if got < 0:
+                raise RuntimeError(f"native emulator error {got}")
+            all_rows.append((buf, got))
+            n += got
+            remaining -= len(buf)
+            if got < len(buf):
+                break
+        pc = ctypes.c_uint32()
+        cycle = ctypes.c_uint32()
+        halted = ctypes.c_int()
+        exit_code = ctypes.c_uint32()
+        lib.emu_state(h, ctypes.byref(pc), ctypes.byref(cycle),
+                      ctypes.byref(halted), ctypes.byref(exit_code))
+        regs = np.zeros(32, np.uint32)
+        reg_ts = np.zeros(32, np.uint32)
+        lib.emu_regs(h, regs, reg_ts)
+        m = lib.emu_mem_count(h)
+        waddrs = np.zeros(max(m, 1), np.uint32)
+        vals = np.zeros(max(m, 1), np.uint32)
+        tss = np.zeros(max(m, 1), np.uint32)
+        if m:
+            lib.emu_mem_dump(h, waddrs, vals, tss)
+
+        # fold results back into the VMState
+        vm.pc = pc.value
+        vm.cycle = cycle.value
+        vm.halted = bool(halted.value)
+        vm.exit_code = exit_code.value
+        vm.regs = [int(x) for x in regs]
+        vm.reg_ts = [int(x) for x in reg_ts]
+        for i in range(m):
+            vm.mem[int(waddrs[i])] = int(vals[i])
+            vm.mem_ts[int(waddrs[i])] = int(tss[i])
+            vm.touched.add(int(waddrs[i]))
+
+        # reconstruct via numpy structured views (ctypes per-field access is
+        # ~20x slower than tolist() over a structured array)
+        ecall_kind = KINDS.index("ECALL")
+        unsigned_imm = {KINDS.index("LUI"), KINDS.index("AUIPC")}
+        records = []
+        for buf, got in all_rows:
+            if not got:
+                continue
+            arr = np.frombuffer(
+                memoryview(buf), dtype=_ROW_DTYPE, count=got
+            )
+            rows = arr.tolist()
+            for row in rows:
+                (pc, next_pc, cycle, kind, rd, rs1, rs2, imm, rs1_val, rs2_val,
+                 rd_prev, rd_val, rs1_pts, rs2_pts, rd_pts, _pad,
+                 mem_waddr, mem_prev, mem_val, mem_pts, _pad2) = row
+                if kind == ecall_kind:
+                    insn = DecodedInsn(kind, 0, 0, 0, 0, 0)
+                else:
+                    if kind in unsigned_imm:
+                        imm &= 0xFFFFFFFF
+                    insn = DecodedInsn(kind, max(rd, 0), max(rs1, 0), max(rs2, 0), imm, 0)
+                rec = StepRecord(cycle, pc, next_pc, insn)
+                if rs1 >= 0:
+                    rec.rs1 = (rs1, rs1_val, rs1_pts)
+                if rs2 >= 0:
+                    rec.rs2 = (rs2, rs2_val, rs2_pts)
+                if rd >= 0:
+                    rec.rd = (rd, rd_prev, rd_val, rd_pts)
+                if mem_waddr >= 0:
+                    rec.mem = (mem_waddr, mem_prev, mem_val, mem_pts)
+                records.append(rec)
+        return records
+    finally:
+        lib.emu_free(h)
+
+
+_ROW_DTYPE = np.dtype(
+    [
+        ("pc", "<u4"), ("next_pc", "<u4"), ("cycle", "<u4"), ("kind", "<i4"),
+        ("rd", "<i4"), ("rs1", "<i4"), ("rs2", "<i4"), ("imm", "<i4"),
+        ("rs1_val", "<u4"), ("rs2_val", "<u4"), ("rd_prev", "<u4"), ("rd_val", "<u4"),
+        ("rs1_prev_ts", "<u4"), ("rs2_prev_ts", "<u4"), ("rd_prev_ts", "<u4"),
+        ("_pad", "<u4"),
+        ("mem_waddr", "<i8"), ("mem_prev", "<u4"), ("mem_val", "<u4"),
+        ("mem_prev_ts", "<u4"), ("_pad2", "<u4"),
+    ]
+)
+
+
+def run_vm(vm: VMState, max_steps: int = 1 << 24):
+    """Backend dispatcher: CENO_EMULATOR_BACKEND=native|python (auto=native
+    when the toolchain exists)."""
+    backend = os.environ.get("CENO_EMULATOR_BACKEND", "auto")
+    if backend in ("native", "auto") and native_available():
+        return run_native(vm, max_steps)
+    return vm.run(max_steps)
+
+
+def run_trace(vm: VMState, max_steps: int = 1 << 24):
+    """Run and return the witgen-ready columnar TraceView — the fast path:
+    the native core's flat arrays become numpy columns with no per-step
+    python objects at all. Falls back to python records."""
+    from ..zkvm.chips.opcodes import TraceView
+
+    backend = os.environ.get("CENO_EMULATOR_BACKEND", "auto")
+    if not (backend in ("native", "auto") and native_available()):
+        return TraceView.from_records(vm.run(max_steps))
+    # run natively, then build columns straight from the row buffers
+    lib = _lib()
+    h = lib.emu_new(vm.entry, vm.regs[2])
+    try:
+        prog_items = sorted(vm.program.items())
+        base_w = prog_items[0][0]
+        words = np.zeros(prog_items[-1][0] - base_w + 1, np.uint32)
+        for w, word in prog_items:
+            words[w - base_w] = word
+        lib.emu_load_program(h, base_w << 2, words, len(words))
+        for waddr, val in sorted(vm.mem_init.items()):
+            lib.emu_init_memory(h, waddr << 2, np.array([val], np.uint32), 1)
+        chunk = 1 << 20
+        arrays = []
+        remaining = max_steps
+        while remaining > 0:
+            buf = (_StepRow * min(chunk, remaining))()
+            got = lib.emu_run(h, buf, len(buf))
+            if got < 0:
+                raise RuntimeError(f"native emulator error {got}")
+            if got:
+                arrays.append(
+                    np.frombuffer(memoryview(buf), dtype=_ROW_DTYPE, count=got).copy()
+                )
+            remaining -= len(buf)
+            if got < len(buf):
+                break
+        _sync_vm_state(lib, h, vm)
+        arr = np.concatenate(arrays) if arrays else np.zeros(0, _ROW_DTYPE)
+        imm = arr["imm"].astype(np.int64)
+        unsigned = np.isin(arr["kind"], np.array(
+            [KINDS.index("LUI"), KINDS.index("AUIPC")], np.int32
+        ))
+        imm = np.where(unsigned, imm & 0xFFFFFFFF, imm)
+        return TraceView(
+            n=len(arr),
+            pc=arr["pc"].astype(np.int64),
+            ts=arr["cycle"].astype(np.int64),
+            rs1_id=np.maximum(arr["rs1"], 0).astype(np.int64),
+            rs1_val=arr["rs1_val"].astype(np.int64),
+            rs1_pts=arr["rs1_prev_ts"].astype(np.int64),
+            rs2_id=np.maximum(arr["rs2"], 0).astype(np.int64),
+            rs2_val=arr["rs2_val"].astype(np.int64),
+            rs2_pts=arr["rs2_prev_ts"].astype(np.int64),
+            rd_id=np.maximum(arr["rd"], 0).astype(np.int64),
+            rd_prev=arr["rd_prev"].astype(np.int64),
+            rd_val=arr["rd_val"].astype(np.int64),
+            rd_pts=arr["rd_prev_ts"].astype(np.int64),
+            mem_waddr=arr["mem_waddr"].astype(np.int64),
+            mem_prev=arr["mem_prev"].astype(np.int64),
+            mem_val=arr["mem_val"].astype(np.int64),
+            mem_pts=arr["mem_prev_ts"].astype(np.int64),
+            imm=imm,
+            kind=arr["kind"].astype(np.int64),
+        )
+    finally:
+        lib.emu_free(h)
+
+
+def _sync_vm_state(lib, h, vm: VMState) -> None:
+    pc = ctypes.c_uint32()
+    cycle = ctypes.c_uint32()
+    halted = ctypes.c_int()
+    exit_code = ctypes.c_uint32()
+    lib.emu_state(h, ctypes.byref(pc), ctypes.byref(cycle),
+                  ctypes.byref(halted), ctypes.byref(exit_code))
+    regs = np.zeros(32, np.uint32)
+    reg_ts = np.zeros(32, np.uint32)
+    lib.emu_regs(h, regs, reg_ts)
+    m = lib.emu_mem_count(h)
+    waddrs = np.zeros(max(m, 1), np.uint32)
+    vals = np.zeros(max(m, 1), np.uint32)
+    tss = np.zeros(max(m, 1), np.uint32)
+    if m:
+        lib.emu_mem_dump(h, waddrs, vals, tss)
+    vm.pc = pc.value
+    vm.cycle = cycle.value
+    vm.halted = bool(halted.value)
+    vm.exit_code = exit_code.value
+    vm.regs = [int(x) for x in regs]
+    vm.reg_ts = [int(x) for x in reg_ts]
+    for i in range(m):
+        vm.mem[int(waddrs[i])] = int(vals[i])
+        vm.mem_ts[int(waddrs[i])] = int(tss[i])
+        vm.touched.add(int(waddrs[i]))

@@ -1,0 +1,349 @@
+// rv32im trace-generating interpreter (native witgen front-end).
+//
+// Role mirror of the reference's emulator fast path (ceno_emul's AOT backend,
+// SURVEY.md §2.1) re-targeted at this framework: executes the guest and fills
+// flat step-record arrays (one row per instruction) that witgen consumes.
+// Semantics are locked to ceno_tpu/emulator/state.py: 4 subcycles per
+// instruction (RS1=0, RS2=1, RD=2, MEM=3), cycle starts at 4, ecall with
+// t0=0 halts with exit code in a0. Memory is a paged sparse store.
+//
+// Built with: cc -O2 -shared -fPIC emulator.cpp -o libceno_emu.so
+// (driven automatically by native.py; no external dependencies).
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+struct StepRow {
+  uint32_t pc;
+  uint32_t next_pc;
+  uint32_t cycle;
+  int32_t kind;         // InsnKind index (python rv32im.K order)
+  int32_t rd, rs1, rs2; // register ids (-1 when absent)
+  int32_t imm;          // sign-extended
+  uint32_t rs1_val, rs2_val;
+  uint32_t rd_prev, rd_val;
+  uint32_t rs1_prev_ts, rs2_prev_ts, rd_prev_ts;
+  int64_t mem_waddr;    // -1 when absent
+  uint32_t mem_prev, mem_val, mem_prev_ts;
+};
+
+// Must match ceno_tpu/emulator/rv32im.py KINDS order.
+enum Kind {
+  ADD, SUB, SLL, SLT, SLTU, XOR_, SRL, SRA, OR_, AND_,
+  MUL, MULH, MULHSU, MULHU, DIV_, DIVU, REM_, REMU,
+  ADDI, SLTI, SLTIU, XORI, ORI, ANDI, SLLI, SRLI, SRAI,
+  LB, LH, LW, LBU, LHU, JALR,
+  SB, SH, SW,
+  BEQ, BNE, BLT, BGE, BLTU, BGEU,
+  LUI, AUIPC, JAL, ECALL, INVALID,
+};
+
+struct Decoded {
+  int32_t kind, rd, rs1, rs2, imm;
+};
+
+static int32_t sext(uint32_t v, int bits) {
+  uint32_t m = 1u << (bits - 1);
+  return (int32_t)((v ^ m) - m);
+}
+
+static Decoded decode(uint32_t w) {
+  Decoded d{INVALID, 0, 0, 0, 0};
+  uint32_t op = w & 0x7f, f3 = (w >> 12) & 7, f7 = (w >> 25) & 0x7f;
+  d.rd = (w >> 7) & 0x1f;
+  d.rs1 = (w >> 15) & 0x1f;
+  d.rs2 = (w >> 20) & 0x1f;
+  switch (op) {
+  case 0x33: { // R
+    static const int r0[8] = {ADD, SLL, SLT, SLTU, XOR_, SRL, OR_, AND_};
+    static const int rm[8] = {MUL, MULH, MULHSU, MULHU, DIV_, DIVU, REM_, REMU};
+    if (f7 == 0) d.kind = r0[f3];
+    else if (f7 == 0x20) d.kind = f3 == 0 ? SUB : (f3 == 5 ? SRA : INVALID);
+    else if (f7 == 1) d.kind = rm[f3];
+    break;
+  }
+  case 0x13: { // I arith
+    static const int i0[8] = {ADDI, SLLI, SLTI, SLTIU, XORI, SRLI, ORI, ANDI};
+    d.kind = i0[f3];
+    if (f3 == 1) d.imm = d.rs2;
+    else if (f3 == 5) { d.kind = f7 == 0x20 ? SRAI : SRLI; d.imm = d.rs2; }
+    else d.imm = sext(w >> 20, 12);
+    break;
+  }
+  case 0x03: { // loads
+    static const int l[8] = {LB, LH, LW, INVALID, LBU, LHU, INVALID, INVALID};
+    d.kind = l[f3];
+    d.imm = sext(w >> 20, 12);
+    break;
+  }
+  case 0x67:
+    if (f3 == 0) { d.kind = JALR; d.imm = sext(w >> 20, 12); }
+    break;
+  case 0x23: { // stores
+    static const int s[8] = {SB, SH, SW, INVALID, INVALID, INVALID, INVALID, INVALID};
+    d.kind = s[f3];
+    d.imm = sext((f7 << 5) | d.rd, 12);
+    break;
+  }
+  case 0x63: { // branches
+    static const int b[8] = {BEQ, BNE, INVALID, INVALID, BLT, BGE, BLTU, BGEU};
+    d.kind = b[f3];
+    uint32_t imm = ((w >> 31) << 12) | (((w >> 7) & 1) << 11) |
+                   (((w >> 25) & 0x3f) << 5) | (((w >> 8) & 0xf) << 1);
+    d.imm = sext(imm, 13);
+    break;
+  }
+  case 0x37: d.kind = LUI; d.imm = (int32_t)(w & 0xfffff000u); break;
+  case 0x17: d.kind = AUIPC; d.imm = (int32_t)(w & 0xfffff000u); break;
+  case 0x6f: {
+    d.kind = JAL;
+    uint32_t imm = ((w >> 31) << 20) | (((w >> 12) & 0xff) << 12) |
+                   (((w >> 20) & 1) << 11) | (((w >> 21) & 0x3ff) << 1);
+    d.imm = sext(imm, 21);
+    break;
+  }
+  case 0x73: if (w == 0x73) d.kind = ECALL; break;
+  }
+  return d;
+}
+
+struct Vm {
+  std::unordered_map<uint32_t, uint32_t> mem;     // word addr -> value
+  std::unordered_map<uint32_t, uint32_t> mem_ts;  // word addr -> last ts
+  std::unordered_map<uint32_t, Decoded> prog;     // word addr -> decoded
+  uint32_t regs[32] = {0};
+  uint32_t reg_ts[32] = {0};
+  uint32_t pc = 0, cycle = 4;
+  int halted = 0;
+  uint32_t exit_code = 0;
+};
+
+static Vm *g_vm = nullptr;
+
+void *emu_new(uint32_t entry, uint32_t sp) {
+  Vm *vm = new Vm();
+  vm->pc = entry;
+  vm->regs[2] = sp;
+  return vm;
+}
+
+void emu_free(void *h) { delete (Vm *)h; }
+
+void emu_load_program(void *h, uint32_t base, const uint32_t *words, int64_t n) {
+  Vm *vm = (Vm *)h;
+  for (int64_t i = 0; i < n; i++)
+    vm->prog[(base >> 2) + (uint32_t)i] = decode(words[i]);
+}
+
+void emu_init_memory(void *h, uint32_t addr, const uint32_t *words, int64_t n) {
+  Vm *vm = (Vm *)h;
+  for (int64_t i = 0; i < n; i++)
+    vm->mem[(addr >> 2) + (uint32_t)i] = words[i];
+}
+
+// Returns number of steps executed; halted/exit_code via emu_state.
+int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
+  Vm *vm = (Vm *)h;
+  int64_t count = 0;
+  while (!vm->halted && count < max_steps) {
+    auto it = vm->prog.find(vm->pc >> 2);
+    if (it == vm->prog.end()) return -1; // pc outside program
+    const Decoded &d = it->second;
+    StepRow &r = out[count];
+    memset(&r, 0, sizeof(StepRow));
+    r.pc = vm->pc;
+    r.cycle = vm->cycle;
+    r.kind = d.kind;
+    r.rd = -1; r.rs1 = -1; r.rs2 = -1;
+    r.imm = d.imm;
+    r.mem_waddr = -1;
+    uint32_t ts = vm->cycle;
+    uint32_t next_pc = vm->pc + 4;
+
+    auto read_reg = [&](int reg, int slot) {
+      uint32_t v = vm->regs[reg];
+      uint32_t prev = vm->reg_ts[reg];
+      vm->reg_ts[reg] = ts + slot;
+      return std::pair<uint32_t, uint32_t>(v, prev);
+    };
+    auto write_rd = [&](uint32_t v) {
+      r.rd = d.rd;
+      r.rd_prev = vm->regs[d.rd];
+      r.rd_prev_ts = vm->reg_ts[d.rd];
+      if (d.rd != 0) vm->regs[d.rd] = v;
+      vm->reg_ts[d.rd] = ts + 2;
+      r.rd_val = vm->regs[d.rd];
+    };
+
+    uint32_t a = 0, b = 0;
+    bool uses_rs1 = true, uses_rs2 = false;
+    switch (d.kind) {
+    case LUI: case AUIPC: case JAL: case ECALL: uses_rs1 = false; break;
+    default: break;
+    }
+    switch (d.kind) {
+    case ADD: case SUB: case SLL: case SLT: case SLTU: case XOR_: case SRL:
+    case SRA: case OR_: case AND_: case MUL: case MULH: case MULHSU:
+    case MULHU: case DIV_: case DIVU: case REM_: case REMU:
+    case SB: case SH: case SW:
+    case BEQ: case BNE: case BLT: case BGE: case BLTU: case BGEU:
+      uses_rs2 = true;
+      break;
+    default: break;
+    }
+    if (d.kind == ECALL) { uses_rs1 = false; uses_rs2 = false; }
+    if (uses_rs1) {
+      auto p = read_reg(d.rs1, 0);
+      a = p.first; r.rs1 = d.rs1; r.rs1_val = a; r.rs1_prev_ts = p.second;
+    }
+    if (uses_rs2) {
+      auto p = read_reg(d.rs2, 1);
+      b = p.first; r.rs2 = d.rs2; r.rs2_val = b; r.rs2_prev_ts = p.second;
+    }
+    int32_t sa = (int32_t)a, sb = (int32_t)b;
+    int32_t imm = d.imm;
+    bool has_result = false;
+    uint32_t result = 0;
+
+    switch (d.kind) {
+    case ADD: result = a + b; has_result = true; break;
+    case SUB: result = a - b; has_result = true; break;
+    case SLL: result = a << (b & 31); has_result = true; break;
+    case SLT: result = sa < sb; has_result = true; break;
+    case SLTU: result = a < b; has_result = true; break;
+    case XOR_: result = a ^ b; has_result = true; break;
+    case SRL: result = a >> (b & 31); has_result = true; break;
+    case SRA: result = (uint32_t)(sa >> (b & 31)); has_result = true; break;
+    case OR_: result = a | b; has_result = true; break;
+    case AND_: result = a & b; has_result = true; break;
+    case MUL: result = a * b; has_result = true; break;
+    case MULH: result = (uint32_t)(((int64_t)sa * sb) >> 32); has_result = true; break;
+    case MULHSU: result = (uint32_t)(((int64_t)sa * (uint64_t)b) >> 32); has_result = true; break;
+    case MULHU: result = (uint32_t)(((uint64_t)a * b) >> 32); has_result = true; break;
+    case DIV_:
+      if (b == 0) result = 0xffffffffu;
+      else {
+        int64_t q = (int64_t)(sa < 0 ? -(int64_t)sa : sa) / (sb < 0 ? -(int64_t)sb : sb);
+        result = (uint32_t)(((sa < 0) != (sb < 0)) ? -q : q);
+      }
+      has_result = true; break;
+    case DIVU: result = b == 0 ? 0xffffffffu : a / b; has_result = true; break;
+    case REM_:
+      if (b == 0) result = a;
+      else {
+        int64_t q = (int64_t)(sa < 0 ? -(int64_t)sa : sa) / (sb < 0 ? -(int64_t)sb : sb);
+        if ((sa < 0) != (sb < 0)) q = -q;
+        result = (uint32_t)(sa - (int32_t)(q * sb));
+      }
+      has_result = true; break;
+    case REMU: result = b == 0 ? a : a % b; has_result = true; break;
+    case ADDI: result = a + (uint32_t)imm; has_result = true; break;
+    case SLTI: result = sa < imm; has_result = true; break;
+    case SLTIU: result = a < (uint32_t)imm; has_result = true; break;
+    case XORI: result = a ^ (uint32_t)imm; has_result = true; break;
+    case ORI: result = a | (uint32_t)imm; has_result = true; break;
+    case ANDI: result = a & (uint32_t)imm; has_result = true; break;
+    case SLLI: result = a << (imm & 31); has_result = true; break;
+    case SRLI: result = a >> (imm & 31); has_result = true; break;
+    case SRAI: result = (uint32_t)(sa >> (imm & 31)); has_result = true; break;
+    case LUI: result = (uint32_t)imm; has_result = true; break;
+    case AUIPC: result = vm->pc + (uint32_t)imm; has_result = true; break;
+    case JAL: result = vm->pc + 4; has_result = true; next_pc = vm->pc + (uint32_t)imm; break;
+    case JALR: result = vm->pc + 4; has_result = true; next_pc = (a + (uint32_t)imm) & ~1u; break;
+    case BEQ: if (a == b) next_pc = vm->pc + (uint32_t)imm; break;
+    case BNE: if (a != b) next_pc = vm->pc + (uint32_t)imm; break;
+    case BLT: if (sa < sb) next_pc = vm->pc + (uint32_t)imm; break;
+    case BGE: if (sa >= sb) next_pc = vm->pc + (uint32_t)imm; break;
+    case BLTU: if (a < b) next_pc = vm->pc + (uint32_t)imm; break;
+    case BGEU: if (a >= b) next_pc = vm->pc + (uint32_t)imm; break;
+    case LB: case LH: case LW: case LBU: case LHU: {
+      uint32_t addr = a + (uint32_t)imm;
+      uint32_t waddr = addr >> 2;
+      uint32_t mval = vm->mem.count(waddr) ? vm->mem[waddr] : 0;
+      uint32_t prev_ts = vm->mem_ts.count(waddr) ? vm->mem_ts[waddr] : 0;
+      vm->mem_ts[waddr] = ts + 3;
+      r.mem_waddr = waddr; r.mem_prev = mval; r.mem_val = mval; r.mem_prev_ts = prev_ts;
+      uint32_t shift = (addr & 3) * 8;
+      switch (d.kind) {
+      case LW: result = mval; break;
+      case LBU: result = (mval >> shift) & 0xff; break;
+      case LB: result = (uint32_t)sext((mval >> shift) & 0xff, 8); break;
+      case LHU: result = (mval >> shift) & 0xffff; break;
+      default: result = (uint32_t)sext((mval >> shift) & 0xffff, 16); break;
+      }
+      has_result = true;
+      break;
+    }
+    case SB: case SH: case SW: {
+      uint32_t addr = a + (uint32_t)imm;
+      uint32_t waddr = addr >> 2;
+      uint32_t prev = vm->mem.count(waddr) ? vm->mem[waddr] : 0;
+      uint32_t prev_ts = vm->mem_ts.count(waddr) ? vm->mem_ts[waddr] : 0;
+      uint32_t shift = (addr & 3) * 8;
+      uint32_t newv;
+      if (d.kind == SW) newv = b;
+      else if (d.kind == SH) newv = (prev & ~(0xffffu << shift)) | ((b & 0xffff) << shift);
+      else newv = (prev & ~(0xffu << shift)) | ((b & 0xff) << shift);
+      vm->mem[waddr] = newv;
+      vm->mem_ts[waddr] = ts + 3;
+      r.mem_waddr = waddr; r.mem_prev = prev; r.mem_val = newv; r.mem_prev_ts = prev_ts;
+      break;
+    }
+    case ECALL: {
+      uint32_t code = vm->regs[5];
+      auto p = read_reg(5, 0);
+      r.rs1 = 5; r.rs1_val = p.first; r.rs1_prev_ts = p.second;
+      if (code == 0) {
+        auto q = read_reg(10, 1);
+        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
+        vm->halted = 1;
+        vm->exit_code = vm->regs[10];
+        next_pc = vm->pc;
+      } else {
+        return -2; // unsupported ecall
+      }
+      break;
+    }
+    default:
+      return -3; // cannot execute
+    }
+    if (has_result) write_rd(result);
+    r.next_pc = next_pc;
+    vm->pc = next_pc;
+    vm->cycle += 4;
+    count++;
+  }
+  return count;
+}
+
+void emu_state(void *h, uint32_t *pc, uint32_t *cycle, int *halted,
+               uint32_t *exit_code) {
+  Vm *vm = (Vm *)h;
+  *pc = vm->pc; *cycle = vm->cycle; *halted = vm->halted; *exit_code = vm->exit_code;
+}
+
+void emu_regs(void *h, uint32_t *regs, uint32_t *reg_ts) {
+  Vm *vm = (Vm *)h;
+  memcpy(regs, vm->regs, sizeof(vm->regs));
+  memcpy(reg_ts, vm->reg_ts, sizeof(vm->reg_ts));
+}
+
+int64_t emu_mem_count(void *h) { return (int64_t)((Vm *)h)->mem_ts.size(); }
+
+// Dump every word with a timestamp (the touched set) plus its value/ts.
+void emu_mem_dump(void *h, uint32_t *waddrs, uint32_t *vals, uint32_t *tss) {
+  Vm *vm = (Vm *)h;
+  int64_t i = 0;
+  for (auto &kv : vm->mem_ts) {
+    waddrs[i] = kv.first;
+    vals[i] = vm->mem.count(kv.first) ? vm->mem[kv.first] : 0;
+    tss[i] = kv.second;
+    i++;
+  }
+}
+
+}  // extern "C"

@@ -30,16 +30,81 @@ MASK16 = 0xFFFF
 
 
 @dataclass
+class TraceView:
+    """Columnar slice of the step trace for one chip (its rows only).
+
+    Witgen is vectorized end-to-end: one pass builds the global columns (or
+    the native emulator emits them directly); chips see numpy views. This is
+    the rayon-parallel assign_instances mirror (instructions.rs:135-204)."""
+
+    n: int
+    pc: np.ndarray
+    ts: np.ndarray
+    rs1_id: np.ndarray
+    rs1_val: np.ndarray
+    rs1_pts: np.ndarray
+    rs2_id: np.ndarray
+    rs2_val: np.ndarray
+    rs2_pts: np.ndarray
+    rd_id: np.ndarray
+    rd_prev: np.ndarray
+    rd_val: np.ndarray
+    rd_pts: np.ndarray
+    mem_waddr: np.ndarray
+    mem_prev: np.ndarray
+    mem_val: np.ndarray
+    mem_pts: np.ndarray
+    imm: np.ndarray        # int64, sign-extended (unsigned for LUI/AUIPC)
+    kind: np.ndarray
+
+    @staticmethod
+    def from_records(records) -> "TraceView":
+        n = len(records)
+        cols = {f: np.zeros(n, np.int64) for f in (
+            "pc", "ts", "rs1_id", "rs1_val", "rs1_pts", "rs2_id", "rs2_val",
+            "rs2_pts", "rd_id", "rd_prev", "rd_val", "rd_pts", "mem_waddr",
+            "mem_prev", "mem_val", "mem_pts", "imm", "kind",
+        )}
+        cols["mem_waddr"] -= 1
+        for i, s in enumerate(records):
+            cols["pc"][i] = s.pc
+            cols["ts"][i] = s.cycle
+            cols["kind"][i] = s.insn.kind
+            cols["imm"][i] = s.insn.imm
+            if s.rs1:
+                cols["rs1_id"][i], cols["rs1_val"][i], cols["rs1_pts"][i] = s.rs1
+            if s.rs2:
+                cols["rs2_id"][i], cols["rs2_val"][i], cols["rs2_pts"][i] = s.rs2
+            if s.rd:
+                (cols["rd_id"][i], cols["rd_prev"][i], cols["rd_val"][i],
+                 cols["rd_pts"][i]) = s.rd
+            if s.mem:
+                (cols["mem_waddr"][i], cols["mem_prev"][i], cols["mem_val"][i],
+                 cols["mem_pts"][i]) = s.mem
+        return TraceView(n=n, **{k: v for k, v in cols.items()})
+
+    def select(self, idx: np.ndarray) -> "TraceView":
+        return TraceView(
+            n=len(idx),
+            **{
+                f: getattr(self, f)[idx]
+                for f in self.__dataclass_fields__
+                if f != "n"
+            },
+        )
+
+
+@dataclass
 class ChipDef:
     name: str
     kinds: tuple
     cb: CircuitBuilder
     compiled: CompiledChip
-    assign_fn: object  # callable(steps) -> dict[str, np.ndarray]
+    assign_fn: object  # callable(view: TraceView) -> dict[str, np.ndarray]
 
-    def assign(self, steps) -> np.ndarray:
-        cols = self.assign_fn(steps)
-        n = len(steps)
+    def assign(self, view: TraceView) -> np.ndarray:
+        cols = self.assign_fn(view)
+        n = view.n
         out = np.zeros((len(self.cb.wit_names), n), np.uint64)
         for i, name in enumerate(self.cb.wit_names):
             if name in cols:
@@ -60,23 +125,45 @@ def _limbs(v):
     return v & MASK16, v >> 16
 
 
+_INV_CACHE = {}
+
+
+def _batch_inv(v: np.ndarray) -> np.ndarray:
+    """Vectorized field inverses (0 -> 0) with a small value cache (register
+    ids and tiny diffs repeat constantly)."""
+    out = np.zeros(len(v), np.uint64)
+    for val in np.unique(v):
+        iv = int(val)
+        if iv == 0:
+            continue
+        cached = _INV_CACHE.get(iv)
+        if cached is None:
+            if len(_INV_CACHE) < 4096:
+                cached = _INV_CACHE[iv] = pow(iv, bb.P - 2, bb.P)
+            else:
+                cached = pow(iv, bb.P - 2, bb.P)
+        out[v == val] = cached
+    return out
+
+
 def _ts_cols(name, prev, cur):
     d = np.asarray(cur, np.int64) - np.asarray(prev, np.int64) - 1
     assert (d >= 0).all(), f"{name}: ts order violated"
     return {f"{name}_dlo": d & MASK16, f"{name}_dhi": d >> 16}
 
 
-def _state_cols(steps):
+def _state_cols(v: TraceView):
     return {
-        "pc": np.array([s.pc for s in steps], np.uint64),
-        "ts": np.array([s.cycle for s in steps], np.uint64),
+        "pc": v.pc.astype(np.uint64),
+        "ts": v.ts.astype(np.uint64),
     }
 
 
-def _reg_read_cols(name, recs, slot_ts, with_id=True):
-    ids = np.array([r[0] for r in recs], np.uint64)
-    vals = np.array([r[1] for r in recs], np.uint64)
-    pts = np.array([r[2] for r in recs], np.uint64)
+def _reg_read_cols(name, which, v: TraceView, slot_ts, with_id=True):
+    """which: 'rs1' or 'rs2' (the trace slot to read from)."""
+    ids = getattr(v, f"{which}_id").astype(np.uint64)
+    vals = getattr(v, f"{which}_val").astype(np.uint64)
+    pts = getattr(v, f"{which}_pts").astype(np.uint64)
     lo, hi = _limbs(vals)
     out = {f"{name}_lo": lo, f"{name}_hi": hi, f"{name}_pts": pts}
     if with_id:
@@ -85,16 +172,15 @@ def _reg_read_cols(name, recs, slot_ts, with_id=True):
     return out
 
 
-def _rd_cols(steps, slot_ts):
-    recs = [s.rd for s in steps]
-    ids = np.array([r[0] for r in recs], np.uint64)
-    prev = np.array([r[1] for r in recs], np.uint64)
-    new = np.array([r[2] for r in recs], np.uint64)
-    pts = np.array([r[3] for r in recs], np.uint64)
+def _rd_cols(v: TraceView, slot_ts):
+    ids = v.rd_id.astype(np.uint64)
+    prev = v.rd_prev.astype(np.uint64)
+    new = v.rd_val.astype(np.uint64)
+    pts = v.rd_pts.astype(np.uint64)
     lo, hi = _limbs(new)
     plo, phi = _limbs(prev)
     z = (ids == 0).astype(np.uint64)
-    zinv = np.array([pow(int(i), bb.P - 2, bb.P) if i else 0 for i in ids], np.uint64)
+    zinv = _batch_inv(ids)
     out = {
         "rd_id": ids, "rd_lo": lo, "rd_hi": hi, "rd_plo": plo, "rd_phi": phi,
         "rd_pts": pts, "rd_iszero": z, "rd_idinv": zinv,
@@ -103,10 +189,18 @@ def _rd_cols(steps, slot_ts):
     return out
 
 
-def _imm_encodings(step):
-    """(imm_lo, imm_hi, imm_field) for the step's instruction (shared with
-    the program table builder in tables.py)."""
-    return encode_imm(step.insn.kind, step.insn.imm)
+def encode_imm_vec(kind: int, imm: np.ndarray):
+    """Vectorized encode_imm for one instruction kind."""
+    if kind == K["LUI"]:
+        v = (imm.astype(np.int64) >> 12) & 0xFFFFF
+        return (v & MASK16).astype(np.uint64), (v >> 16).astype(np.uint64), v.astype(np.uint64)
+    u32 = imm.astype(np.int64) & 0xFFFFFFFF
+    field = imm.astype(np.int64) % bb.P
+    return (
+        (u32 & MASK16).astype(np.uint64),
+        ((u32 >> 16) & MASK16).astype(np.uint64),
+        field.astype(np.uint64),
+    )
 
 
 def encode_imm(kind, imm):
@@ -138,14 +232,14 @@ def _add_sub_chip(name: str, kind: int, is_sub: bool) -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, kind, rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-        cols.update(_rd_cols(steps, ts + 2))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        b = np.array([s.rs2[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+        cols.update(_rd_cols(v, ts + 2))
+        a = v.rs1_val.astype(np.uint64)
+        b = v.rs2_val.astype(np.uint64)
         a_lo, _ = _limbs(a)
         b_lo, _ = _limbs(b)
         if is_sub:
@@ -176,16 +270,14 @@ def _addi_chip() -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K["ADDI"], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_rd_cols(steps, ts + 2))
-        il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-        il = np.array(il, np.uint64)
-        ih = np.array(ih, np.uint64)
-        cols.update({"imm_lo": il, "imm_hi": ih, "imm_f": np.array(iff, np.uint64)})
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_rd_cols(v, ts + 2))
+        il, ih, iff = encode_imm_vec(K["ADDI"], v.imm)
+        cols.update({"imm_lo": il, "imm_hi": ih, "imm_f": iff})
+        a = v.rs1_val.astype(np.uint64)
         c0 = (((a & MASK16) + il) >> 16) & 1
         c1 = (((a >> 16) + ih + c0) >> 16) & 1
         cols.update({"addi_c0": c0, "addi_c1": c1})
@@ -213,14 +305,13 @@ def _lui_chip() -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K["LUI"], rd.reg_id, 0, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_rd_cols(steps, ts + 2))
-        il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-        iff = np.array(iff, np.uint64)
+        cols.update(_rd_cols(v, ts + 2))
+        il, ih, iff = encode_imm_vec(K["LUI"], v.imm)
         cols.update({
-            "imm_lo": np.array(il, np.uint64), "imm_hi": np.array(ih, np.uint64),
+            "imm_lo": il, "imm_hi": ih,
             "imm_f": iff, "imm_l4": iff & 0xF, "imm_h16": iff >> 4,
         })
         return cols
@@ -245,25 +336,20 @@ def _branch_chip(name: str, kind: int, on_eq: bool) -> ChipDef:
     C.gs_chain(cb, st, next_pc)
     C.fetch(cb, st, kind, 0, rs1.reg_id, rs2.reg_id, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-        il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-        cols.update({
-            "imm_lo": np.array(il, np.uint64), "imm_hi": np.array(ih, np.uint64),
-            "imm_f": np.array(iff, np.uint64),
-        })
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        b = np.array([s.rs2[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+        il, ih, iff = encode_imm_vec(kind, v.imm)
+        cols.update({"imm_lo": il, "imm_hi": ih, "imm_f": iff})
+        a = v.rs1_val.astype(np.uint64)
+        b = v.rs2_val.astype(np.uint64)
         for nm, d in (("eq_lo", (a & MASK16) + bb.P - (b & MASK16)),
                       ("eq_hi", (a >> 16) + bb.P - (b >> 16))):
             d = d % np.uint64(bb.P)
             cols[f"{nm}_z"] = (d == 0).astype(np.uint64)
-            cols[f"{nm}_inv"] = np.array(
-                [pow(int(v), bb.P - 2, bb.P) if v else 0 for v in d], np.uint64
-            )
+            cols[f"{nm}_inv"] = _batch_inv(d)
         return cols
 
     return ChipDef(name, (kind,), cb, compile_chip(cb), assign)
@@ -284,15 +370,12 @@ def _jal_chip() -> ChipDef:
     C.gs_chain(cb, st, st.pc + imm_f)
     C.fetch(cb, st, K["JAL"], rd.reg_id, 0, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_rd_cols(steps, ts + 2))
-        il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-        cols.update({
-            "imm_lo": np.array(il, np.uint64), "imm_hi": np.array(ih, np.uint64),
-            "imm_f": np.array(iff, np.uint64),
-        })
+        cols.update(_rd_cols(v, ts + 2))
+        il, ih, iff = encode_imm_vec(K["JAL"], v.imm)
+        cols.update({"imm_lo": il, "imm_hi": ih, "imm_f": iff})
         return cols
 
     return ChipDef("jal", (K["JAL"],), cb, compile_chip(cb), assign)
@@ -332,18 +415,17 @@ def _slli_chip() -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K["SLLI"], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_rd_cols(steps, ts + 2))
-        il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-        sh = np.array(iff, np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_rd_cols(v, ts + 2))
+        il, ih, sh = encode_imm_vec(K["SLLI"], v.imm)
         cols.update({
-            "imm_lo": np.array(il, np.uint64), "imm_hi": np.array(ih, np.uint64),
+            "imm_lo": il, "imm_hi": ih,
             "imm_f": sh, "sh_low": sh & 15, "sh_ge16": sh >> 4,
         })
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
+        a = v.rs1_val.astype(np.uint64)
         slow = sh & 15
         pl = (a & MASK16) << slow
         ph = (a >> 16) << slow
@@ -388,18 +470,15 @@ def _mem_chip(name: str, kind: int, is_store: bool) -> ChipDef:
         C.gs_chain(cb, st, st.pc + 4)
         C.fetch(cb, st, kind, rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-        cols.update({
-            "imm_lo": np.array(il, np.uint64), "imm_hi": np.array(ih, np.uint64),
-            "imm_f": np.array(iff, np.uint64),
-        })
-        waddr = np.array([s.mem[0] for s in steps], np.uint64)
-        prev_v = np.array([s.mem[1] for s in steps], np.uint64)
-        pts = np.array([s.mem[3] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        il, ih, iff = encode_imm_vec(kind, v.imm)
+        cols.update({"imm_lo": il, "imm_hi": ih, "imm_f": iff})
+        waddr = v.mem_waddr.astype(np.uint64)
+        prev_v = v.mem_prev.astype(np.uint64)
+        pts = v.mem_pts.astype(np.uint64)
         plo, phi = _limbs(prev_v)
         cols.update({
             "mem_waddr": waddr, "mem_walo": waddr & MASK16, "mem_wahi": waddr >> 16,
@@ -407,9 +486,9 @@ def _mem_chip(name: str, kind: int, is_store: bool) -> ChipDef:
         })
         cols.update(_ts_cols("mem", pts, ts + 3))
         if is_store:
-            cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
+            cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
         else:
-            cols.update(_rd_cols(steps, ts + 2))
+            cols.update(_rd_cols(v, ts + 2))
         return cols
 
     return ChipDef(name, (kind,), cb, compile_chip(cb), assign)
@@ -429,11 +508,11 @@ def _halt_chip() -> ChipDef:
     C.gs_chain(cb, st, st.pc)  # halt's GS write carries pc (consumed by GlobalChip)
     C.fetch(cb, st, K["ECALL"], 0, 0, 0, 0, 0, 0)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("t0", [s.rs1 for s in steps], ts + 0, with_id=False))
-        cols.update(_reg_read_cols("a0", [s.rs2 for s in steps], ts + 1, with_id=False))
+        cols.update(_reg_read_cols("t0", "rs1", v, ts + 0, with_id=False))
+        cols.update(_reg_read_cols("a0", "rs2", v, ts + 1, with_id=False))
         return cols
 
     return ChipDef("halt", (K["ECALL"],), cb, compile_chip(cb), assign)

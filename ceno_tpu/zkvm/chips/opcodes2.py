@@ -24,7 +24,7 @@ from ...emulator.rv32im import K
 from . import common as C
 from .opcodes import (
     ChipDef, MASK16, _state_cols, _reg_read_cols, _rd_cols, _ts_cols,
-    _imm_encodings,
+    encode_imm_vec, _batch_inv,
 )
 
 
@@ -34,13 +34,9 @@ class ImmOperand:
     hi: object
 
 
-def _imm_cols_witgen(steps):
-    il, ih, iff = zip(*[_imm_encodings(s) for s in steps])
-    return {
-        "imm_lo": np.array(il, np.uint64),
-        "imm_hi": np.array(ih, np.uint64),
-        "imm_f": np.array(iff, np.uint64),
-    }
+def _imm_cols_witgen(kind, v):
+    il, ih, iff = encode_imm_vec(kind, v.imm)
+    return {"imm_lo": il, "imm_hi": ih, "imm_f": iff}
 
 
 # ---------------------------------------------------------------------------
@@ -83,18 +79,18 @@ def _logic_chip(opname: str, kind_name: str, immediate: bool) -> ChipDef:
     else:
         C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        a = v.rs1_val.astype(np.uint64)
         if immediate:
-            cols.update(_imm_cols_witgen(steps))
-            b = np.array([s.insn.imm & 0xFFFFFFFF for s in steps], np.uint64)
+            cols.update(_imm_cols_witgen(K[kind_name], v))
+            b = (v.imm & 0xFFFFFFFF).astype(np.uint64)
         else:
-            cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-            b = np.array([s.rs2[1] for s in steps], np.uint64)
-        cols.update(_rd_cols(steps, ts + 2))
+            cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+            b = v.rs2_val.astype(np.uint64)
+        cols.update(_rd_cols(v, ts + 2))
         o = _LOGIC_NP[opname](a, b)
         for i in range(4):
             cols[f"a_b{i}"] = (a >> (8 * i)) & 0xFF
@@ -132,18 +128,18 @@ def _slt_chip(kind_name: str, signed: bool, immediate: bool) -> ChipDef:
     else:
         C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        a = v.rs1_val.astype(np.uint64)
         if immediate:
-            cols.update(_imm_cols_witgen(steps))
-            b = np.array([s.insn.imm & 0xFFFFFFFF for s in steps], np.uint64)
+            cols.update(_imm_cols_witgen(K[kind_name], v))
+            b = (v.imm & 0xFFFFFFFF).astype(np.uint64)
         else:
-            cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-            b = np.array([s.rs2[1] for s in steps], np.uint64)
-        cols.update(_rd_cols(steps, ts + 2))
+            cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+            b = v.rs2_val.astype(np.uint64)
+        cols.update(_rd_cols(v, ts + 2))
         cols.update(_cmp_witgen("cmp", a, b, signed))
         return cols
 
@@ -170,9 +166,7 @@ def _cmp_witgen(name, a, b, signed):
     cols[f"{name}_lo_lt"] = (a_lo < b_lo).astype(np.uint64)
     d = (adj_a.astype(np.int64) - adj_b.astype(np.int64)) % bb.P
     cols[f"{name}_eqhi_z"] = (d == 0).astype(np.uint64)
-    cols[f"{name}_eqhi_inv"] = np.array(
-        [pow(int(v), bb.P - 2, bb.P) if v else 0 for v in d], np.uint64
-    )
+    cols[f"{name}_eqhi_inv"] = _batch_inv(d.astype(np.uint64))
     return cols
 
 
@@ -194,14 +188,14 @@ def _branch_cmp_chip(kind_name: str, signed: bool, on_ge: bool) -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4 + taken * (imm_f - 4))
     C.fetch(cb, st, K[kind_name], 0, rs1.reg_id, rs2.reg_id, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-        cols.update(_imm_cols_witgen(steps))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        b = np.array([s.rs2[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+        cols.update(_imm_cols_witgen(K[kind_name], v))
+        a = v.rs1_val.astype(np.uint64)
+        b = v.rs2_val.astype(np.uint64)
         cols.update(_cmp_witgen("cmp", a, b, signed))
         return cols
 
@@ -255,15 +249,15 @@ def _shift_right_chip(kind_name: str, arith: bool) -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_rd_cols(steps, ts + 2))
-        cols.update(_imm_cols_witgen(steps))
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_rd_cols(v, ts + 2))
+        cols.update(_imm_cols_witgen(K[kind_name], v))
         sh = cols["imm_f"]
         slow = sh & 15
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
+        a = v.rs1_val.astype(np.uint64)
         a_lo, a_hi = a & MASK16, a >> 16
         cols.update({
             "sh_low": slow, "sh_ge16": sh >> 4,
@@ -304,14 +298,14 @@ def _jalr_chip() -> ChipDef:
     C.gs_chain(cb, st, target)
     C.fetch(cb, st, K["JALR"], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_rd_cols(steps, ts + 2))
-        cols.update(_imm_cols_witgen(steps))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        imm = np.array([s.insn.imm for s in steps], np.int64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_rd_cols(v, ts + 2))
+        cols.update(_imm_cols_witgen(K["JALR"], v))
+        a = v.rs1_val.astype(np.uint64)
+        imm = v.imm.astype(np.int64)
         raw = (a.astype(np.int64) + imm) & 0xFFFFFFFF
         tgt = raw & ~np.int64(1)
         cols.update({
@@ -335,11 +329,11 @@ def _auipc_chip() -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K["AUIPC"], rd.reg_id, 0, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_rd_cols(steps, ts + 2))
-        cols.update(_imm_cols_witgen(steps))
+        cols.update(_rd_cols(v, ts + 2))
+        cols.update(_imm_cols_witgen(K["AUIPC"], v))
         pc = cols["pc"]
         cols.update({"pc_lo": pc & MASK16, "pc_hi": pc >> 16})
         a_lo = pc & MASK16
@@ -453,18 +447,18 @@ def _byte_mem_chip(kind_name: str) -> ChipDef:
         C.gs_chain(cb, st, st.pc + 4)
         C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_imm_cols_witgen(steps))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        imm = np.array([s.insn.imm for s in steps], np.int64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_imm_cols_witgen(K[kind_name], v))
+        a = v.rs1_val.astype(np.uint64)
+        imm = v.imm.astype(np.int64)
         addr = (a.astype(np.int64) + imm) & 0xFFFFFFFF
         off = addr & 3
-        waddr = np.array([s.mem[0] for s in steps], np.uint64)
-        prev_v = np.array([s.mem[1] for s in steps], np.uint64)
-        pts = np.array([s.mem[3] for s in steps], np.uint64)
+        waddr = v.mem_waddr.astype(np.uint64)
+        prev_v = v.mem_prev.astype(np.uint64)
+        pts = v.mem_pts.astype(np.uint64)
         cols.update({
             "mem_waddr": waddr, "mem_walo": waddr & MASK16, "mem_wahi": waddr >> 16,
             "off0": off & 1, "off1": off >> 1,
@@ -474,15 +468,15 @@ def _byte_mem_chip(kind_name: str) -> ChipDef:
         for i in range(4):
             cols[f"pw_b{i}"] = (prev_v >> (8 * i)) & 0xFF
         if is_store:
-            cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-            sv = np.array([s.rs2[1] for s in steps], np.uint64)
+            cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+            sv = v.rs2_val.astype(np.uint64)
             for i in range(4):
                 cols[f"sv_b{i}"] = (sv >> (8 * i)) & 0xFF
-            new_v = np.array([s.mem[2] for s in steps], np.uint64)
+            new_v = v.mem_val.astype(np.uint64)
             for i in range(4):
                 cols[f"nw_b{i}"] = (new_v >> (8 * i)) & 0xFF
         else:
-            cols.update(_rd_cols(steps, ts + 2))
+            cols.update(_rd_cols(v, ts + 2))
             if is_half:
                 half = np.where(off >> 1 == 0, prev_v & 0xFFFF, prev_v >> 16)
                 if is_signed:

@@ -20,7 +20,7 @@ from ...gkr.chip import compile_chip
 from ...mle import expression as E
 from ...emulator.rv32im import K
 from . import common as C
-from .opcodes import ChipDef, MASK16, _state_cols, _reg_read_cols, _rd_cols
+from .opcodes import ChipDef, MASK16, _state_cols, _reg_read_cols, _rd_cols, _batch_inv
 
 WORD = 0xFFFFFFFF
 
@@ -119,14 +119,14 @@ def _mul_chip(kind_name: str) -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-        cols.update(_rd_cols(steps, ts + 2))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        b = np.array([s.rs2[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+        cols.update(_rd_cols(v, ts + 2))
+        a = v.rs1_val.astype(np.uint64)
+        b = v.rs2_val.astype(np.uint64)
         for i in range(4):
             cols[f"a_b{i}"] = (a >> (8 * i)) & 0xFF
             cols[f"b_b{i}"] = (b >> (8 * i)) & 0xFF
@@ -146,12 +146,12 @@ def _mul_chip(kind_name: str) -> ChipDef:
                 bt = (b >> 31).astype(np.int64)
                 sub_lo += bt * (a & MASK16).astype(np.int64)
                 sub_hi += bt * (a >> 16).astype(np.int64)
-            rd_v = np.array([s.rd[2] for s in steps], np.uint64)
+            rd_v = v.rd_val.astype(np.uint64)
             rd_lo = (rd_v & MASK16).astype(np.int64)
             rd_hi = (rd_v >> 16).astype(np.int64)
             hu_lo = (hu & MASK16).astype(np.int64)
             hu_hi = (hu >> 16).astype(np.int64)
-            x0 = np.array([s.rd[0] == 0 for s in steps])
+            x0 = v.rd_id == 0
             brw0 = np.where(x0, 0, -((hu_lo - sub_lo - rd_lo) // (1 << 16)))
             brw1 = np.where(
                 x0, 0, -((hu_hi - sub_hi - brw0 - rd_hi) // (1 << 16))
@@ -203,9 +203,7 @@ def _abs_witgen(name, v):
     out.update({f"{name}_sgn_top": neg, f"{name}_sgn_rest": (v >> 16) & 0x7FFF})
     for nm, limb in ((f"{name}_zl", v & MASK16), (f"{name}_zh", v >> 16)):
         out[f"{nm}_z"] = (limb == 0).astype(np.uint64)
-        out[f"{nm}_inv"] = np.array(
-            [pow(int(x), bb.P - 2, bb.P) if x else 0 for x in limb], np.uint64
-        )
+        out[f"{nm}_inv"] = _batch_inv(limb)
     return out
 
 
@@ -301,14 +299,14 @@ def _div_chip(kind_name: str) -> ChipDef:
     C.gs_chain(cb, st, st.pc + 4)
     C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
 
-    def assign(steps):
-        cols = _state_cols(steps)
+    def assign(v):
+        cols = _state_cols(v)
         ts = cols["ts"]
-        cols.update(_reg_read_cols("rs1", [s.rs1 for s in steps], ts + 0))
-        cols.update(_reg_read_cols("rs2", [s.rs2 for s in steps], ts + 1))
-        cols.update(_rd_cols(steps, ts + 2))
-        a = np.array([s.rs1[1] for s in steps], np.uint64)
-        b = np.array([s.rs2[1] for s in steps], np.uint64)
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+        cols.update(_rd_cols(v, ts + 2))
+        a = v.rs1_val.astype(np.uint64)
+        b = v.rs2_val.astype(np.uint64)
         if signed:
             cols.update(_abs_witgen("absa", a))
             cols.update(_abs_witgen("absb", b))
@@ -328,9 +326,7 @@ def _div_chip(kind_name: str) -> ChipDef:
         cols.update(_mul_witgen("qb_mul", q, ab))
         for nm, limb in (("bz_l", ab & MASK16), ("bz_h", ab >> 16)):
             cols[f"{nm}_z"] = (limb == 0).astype(np.uint64)
-            cols[f"{nm}_inv"] = np.array(
-                [pow(int(x), bb.P - 2, bb.P) if x else 0 for x in limb], np.uint64
-            )
+            cols[f"{nm}_inv"] = _batch_inv(limb)
         # carries of q*b + r = a (b != 0 rows; gated off otherwise)
         p_v = (q * ab) & np.uint64(WORD)
         c0v = ((p_v & MASK16) + (r & MASK16)) >> 16
@@ -344,19 +340,13 @@ def _div_chip(kind_name: str) -> ChipDef:
         cols["rb_lo_lt"] = (r_lo_ < b_lo_).astype(np.uint64)
         d = (r_hi_.astype(np.int64) - b_hi_.astype(np.int64)) % bb.P
         cols["rb_eqhi_z"] = (d == 0).astype(np.uint64)
-        cols["rb_eqhi_inv"] = np.array(
-            [pow(int(x), bb.P - 2, bb.P) if x else 0 for x in d], np.uint64
-        )
+        cols["rb_eqhi_inv"] = _batch_inv(d.astype(np.uint64))
         if signed:
             sel = r if want_rem else q
             cols["sz_l_z"] = ((sel & MASK16) == 0).astype(np.uint64)
-            cols["sz_l_inv"] = np.array(
-                [pow(int(x), bb.P - 2, bb.P) if x else 0 for x in sel & MASK16], np.uint64
-            )
+            cols["sz_l_inv"] = _batch_inv(sel & MASK16)
             cols["sz_h_z"] = ((sel >> 16) == 0).astype(np.uint64)
-            cols["sz_h_inv"] = np.array(
-                [pow(int(x), bb.P - 2, bb.P) if x else 0 for x in sel >> 16], np.uint64
-            )
+            cols["sz_h_inv"] = _batch_inv(sel >> 16)
             cols["sgn_c0"] = np.where(
                 ((sel & MASK16) != 0), 1, 0
             ).astype(np.uint64) * np.where(_result_neg(a, b, ab, want_rem) == 1, 1, 0)

@@ -47,10 +47,12 @@ def run_e2e(
     max_steps: int = 1 << 24,
     pk: ProvingKey | None = None,
 ) -> E2EResult:
-    records = vm.run(max_steps)
+    from ..emulator import native
+
+    trace = native.run_trace(vm, max_steps)  # native core when available
     assert vm.halted, "guest did not halt"
     pv = public_values_from_vm(vm)
     if pk is None:
         pk = keygen(vm.program, cfg, params)
-    proof = prove(pk, vm, records, pv)
-    return E2EResult(pk, proof, pv, len(records))
+    proof = prove(pk, vm, trace, pv)
+    return E2EResult(pk, proof, pv, trace.n)

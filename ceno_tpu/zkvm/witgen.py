@@ -75,22 +75,18 @@ def generate_witness(
     cfg: ZKVMConfig,
 ):
     """Returns (assigned list in registry order: opcode chips then tables)."""
-    by_kind = {}
-    for chip in opcode_chips:
-        for k in chip.kinds:
-            by_kind[k] = chip
-    steps_per_chip = {chip.name: [] for chip in opcode_chips}
-    for r in records:
-        chip = by_kind.get(r.insn.kind)
-        assert chip is not None, f"no chip for {r.insn.name}"
-        steps_per_chip[chip.name].append(r)
+    from .chips.opcodes import TraceView
 
+    view = records if isinstance(records, TraceView) else TraceView.from_records(records)
+    covered = np.zeros(view.n, bool)
     assigned = []
     counts: dict = {}
     for chip in opcode_chips:
-        steps = steps_per_chip[chip.name]
-        k = len(steps)
-        wit = chip.assign(steps) if steps else np.zeros(
+        mask = np.isin(view.kind, np.array(chip.kinds, np.int64))
+        covered |= mask
+        idx = np.nonzero(mask)[0]
+        k = len(idx)
+        wit = chip.assign(view.select(idx)) if k else np.zeros(
             (len(chip.cb.wit_names), 0), np.uint64
         )
         wit = _pad_pow2(wit, k)
@@ -99,6 +95,10 @@ def generate_witness(
         assigned.append(
             AssignedChip(chip.name, chip.compiled, chip.cb, wit, k, wit.shape[1], False)
         )
+
+    assert covered.all(), (
+        f"steps with no chip: kinds {set(view.kind[~covered].tolist())}"
+    )
 
     # every touched/initialized address must be covered by a RAM table window
     from .tables import memory_windows
