@@ -64,3 +64,35 @@ def test_hinted_fibonacci_proves_and_verifies():
     res = run_e2e(vm, CFG, PARAMS)
     assert int(res.public_values[4]) == fib_expected(9) & 0xFFFF
     assert verify(res.pk.vk, res.proof)
+
+
+def test_example_guests_prove():
+    """The examples/ guests (reference examples mirror) prove end-to-end."""
+    from ceno_tpu.emulator.rv32im import assemble
+    from ceno_tpu.emulator.state import VMState, make_program, Platform
+
+    rom = Platform.rom_start
+    # quadratic sorting over 6 hint words
+    src = open("examples/quadratic_sorting.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start
+    )
+    vm = VMState(make_program(assemble(src, rom), rom), rom)
+    data = [6, 30, 5, 12, 9, 44, 1]  # n followed by values
+    for i, w in enumerate(data):
+        vm.init_memory(Platform.hints_start + 4 * i, w)
+    res = run_e2e(vm, CFG, PARAMS)
+    vals = sorted(data[1:])
+    expect = sum(i * v for i, v in enumerate(vals)) & 0xFFFF
+    assert int(res.public_values[4]) == expect
+    assert verify(res.pk.vk, res.proof)
+
+    # is_prime
+    src = open("examples/is_prime.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start
+    )
+    for n, prime in ((97, 1), (91, 0)):
+        vm = VMState(make_program(assemble(src, rom), rom), rom)
+        vm.init_memory(Platform.hints_start, n)
+        res = run_e2e(vm, CFG, PARAMS)
+        assert int(res.public_values[4]) == prime, n
+        assert verify(res.pk.vk, res.proof)
