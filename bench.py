@@ -34,18 +34,42 @@ def _tpu_prove():
     from ceno_tpu.zkvm.scheme import keygen, prove, verify
     from ceno_tpu.zkvm.e2e import public_values_from_vm
 
+    import sys
+
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+    from ceno_tpu.emulator import native
+
     cfg = ZKVMConfig(shl_x_bits=10)
     params = BasefoldParams()  # production: blowup 8, 34 queries
     vm = programs.fibonacci_vm(N_ITERS)
-    records = vm.run()
+    trace = native.run_trace(vm)
+    log(f"emulated {trace.n} steps")
     pv = public_values_from_vm(vm)
     pk = keygen(vm.program, cfg, params)
-    proof = prove(pk, vm, records, pv)  # warm (compiles)
+    log("keygen done")
+    import ceno_tpu.gkr.chip as chiplib
+
+    orig = chiplib.prove_chip
+
+    def timed(compiled, *a, **kw):
+        t = time.time()
+        r = orig(compiled, *a, **kw)
+        log(f"  chip {compiled.name}: {time.time() - t:.1f}s")
+        return r
+
+    chiplib.prove_chip = timed
+    proof = prove(pk, vm, trace, pv)  # warm (compiles)
+    log("warm prove done")
+    chiplib.prove_chip = orig
     t0 = time.time()
-    proof = prove(pk, vm, records, pv)
+    proof = prove(pk, vm, trace, pv)
     dt = time.time() - t0
+    log(f"timed prove: {dt:.1f}s")
     assert verify(pk.vk, proof)
-    return dt, len(records)
+    log("verify ok")
+    return dt, trace.n
 
 
 def _host_baseline() -> float:
