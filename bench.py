@@ -104,8 +104,16 @@ def _host_baseline() -> float:
 
 def main():
     tpu_dt, n_steps = _tpu_prove()
+    cache = os.path.join(os.path.dirname(__file__), ".bench_host_baseline.json")
+    host_dt = None
     try:
-        host_dt = _host_baseline()
+        if os.path.exists(cache):
+            saved = json.load(open(cache))
+            if saved.get("n_iters") == N_ITERS:
+                host_dt = saved["seconds"]
+        if host_dt is None:
+            host_dt = _host_baseline()
+            json.dump({"n_iters": N_ITERS, "seconds": host_dt}, open(cache, "w"))
         ratio = round(host_dt / tpu_dt, 2)
     except Exception:
         ratio = None

@@ -63,6 +63,23 @@ def product_layers(v):
     return tuple(reversed(layers))
 
 
+import os as _os
+
+# with CENO_TPU_FUSED=1, device levels are ~1 fused call each, so only trivial
+# levels stay in numpy; otherwise (per-round dispatch) host handles small ones
+_TOWER_HOST_N = (
+    min(H.HOST_N, 256)
+    if _os.environ.get("CENO_TPU_FUSED", "0") == "1" and H.HOST_N < (1 << 16)
+    else H.HOST_N
+)
+
+
+@jax.jit
+def _pack_layers(layers):
+    """Concatenate a tuple of (4, m) layers into one (4, sum m) array."""
+    return jnp.concatenate(layers, axis=-1)
+
+
 @jax.jit
 def split_specs(layers):
     """Split each (4, 2h) layer into contiguous halves — one XLA program per
@@ -241,9 +258,23 @@ def prove_towers(
     def canon2(x):  # (4, k) device -> (k, 4) canonical host
         return bb.np_from_monty(np.asarray(x)).astype(np.uint64).T
 
-    # pull small layers to host once: device dispatch dominates below HOST_N
+    # pull small layers to host in ONE packed transfer per spec (each
+    # np.asarray fetch pays a full tunnel round trip)
     def hostify(layers):
-        return [canon2(l) if l.shape[-1] <= H.HOST_N else None for l in layers]
+        small = [l for l in layers if l.shape[-1] <= _TOWER_HOST_N]
+        if not small:
+            return [None] * len(layers)
+        packed = canon2(_pack_layers(tuple(small)))
+        out = []
+        off = 0
+        for l in layers:
+            m = l.shape[-1]
+            if m <= _TOWER_HOST_N:
+                out.append(packed[off : off + m])
+                off += m
+            else:
+                out.append(None)
+        return out
 
     prod_host = [hostify(ls) for ls in prod_lys]
     logup_host = [(hostify(pl), hostify(ql)) for pl, ql in logup_lys]
@@ -276,7 +307,9 @@ def prove_towers(
         n_claims = len(prod_claims) + 2 * len(logup_claims)
         alphas = transcript.sample_ext_pows(n_claims)
         half = 1 << level
-        use_host = 2 * half <= H.HOST_N
+        # fully-fused device sumchecks make even small levels ~1 call; only
+        # trivially small levels run in numpy
+        use_host = 2 * half <= _TOWER_HOST_N
         # build columns: shared eq + per-spec halves of layer level+1
         if use_host:
             eq_col = H.build_eq_host(rt)

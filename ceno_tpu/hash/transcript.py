@@ -110,6 +110,13 @@ class Transcript:
         t._absorbed = self._absorbed
         return t
 
+    def export_state(self):
+        """(state copy, pos, sq_pos, absorbed) — for the on-device duplex
+        mirror (sumcheck/fused.py). The device runs the identical sponge on
+        the Monty form of this state; the host replays the same absorbs to
+        stay in sync."""
+        return self.state.copy(), self._pos, self._sq_pos, self._absorbed
+
 
 def _ext_mul_canon(a, b):
     """Canonical-form ext4 multiply for host-side challenge powers."""

@@ -119,6 +119,14 @@ def combine_columns(cols, weights):
 
 
 @jax.jit
+def fold_codeword_and_tree(u, r, invw):
+    """Fused fold + Merkle for the committed fold oracles (one device call)."""
+    folded = fold_codeword(u, r, invw)
+    leaves, levels = hash_and_tree(folded.reshape(4, folded.shape[1]))
+    return folded, leaves, levels
+
+
+@jax.jit
 def fold_codeword(u, r, invw):
     """One Basefold fold: (4, M) -> (4, M/2). invw (M/2,) Monty twiddles."""
     half = u.shape[1] // 2
@@ -250,11 +258,30 @@ def open_batch(
     def hook(rnd, ch):
         cur_log = fold_state["log_m"]
         invw = ntt.domain_pow_inv(cur_log)
+        new_m = 1 << (cur_log - 1)
+        needs_tree = (
+            fold_state["tail"] is None
+            and not (new_m <= params.stop_size or rnd == n_vars - 1)
+        )
         if fold_state["u_host"] is None and (1 << cur_log) > 4 * H.HOST_N:
-            nu = fold_codeword(
-                fold_state["u"], jnp.asarray(bb.np_to_monty(ch)), jnp.asarray(bb.np_to_monty(invw))
+            if needs_tree:
+                # fused fold + Merkle: one device call per committed level
+                nu, leaves, levels = fold_codeword_and_tree(
+                    fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
+                    jnp.asarray(bb.np_to_monty(invw)),
+                )
+                fold_state["u"] = nu
+                tree = MerkleTree.from_device(leaves, levels)
+                fold_state["dev_levels"].append(nu)
+                fold_state["host_levels"].append(None)
+                fold_state["trees"].append(tree)
+                fold_state["log_m"] = cur_log - 1
+                transcript.append(tree.root)
+                return
+            fold_state["u"] = fold_codeword(
+                fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
+                jnp.asarray(bb.np_to_monty(invw)),
             )
-            fold_state["u"] = nu
         else:
             if fold_state["u_host"] is None:
                 fold_state["u_host"] = (
@@ -263,10 +290,9 @@ def open_batch(
                 fold_state["u"] = None
             fold_state["u_host"] = _fold_host(fold_state["u_host"], ch, invw)
         fold_state["log_m"] = cur_log - 1
-        new_m = 1 << fold_state["log_m"]
         if fold_state["tail"] is not None:
             return  # already in clear; nothing to absorb
-        if new_m <= params.stop_size or rnd == n_vars - 1:
+        if not needs_tree:
             if fold_state["u_host"] is None:
                 fold_state["u_host"] = (
                     bb.np_from_monty(np.asarray(fold_state["u"])).astype(np.uint64).T
@@ -275,15 +301,9 @@ def open_batch(
             fold_state["tail"] = fold_state["u_host"].copy()
             transcript.append(fold_state["tail"].ravel())
         else:
-            if fold_state["u_host"] is None:
-                leaves, levels = hash_and_tree(fold_state["u"].reshape(4, new_m))
-                tree = MerkleTree.from_device(leaves, levels)
-                fold_state["dev_levels"].append(fold_state["u"])
-                fold_state["host_levels"].append(None)
-            else:
-                tree = MerkleTree.build_host(fold_state["u_host"].T)
-                fold_state["dev_levels"].append(None)
-                fold_state["host_levels"].append(fold_state["u_host"])
+            tree = MerkleTree.build_host(fold_state["u_host"].T)
+            fold_state["dev_levels"].append(None)
+            fold_state["host_levels"].append(fold_state["u_host"])
             fold_state["trees"].append(tree)
             transcript.append(tree.root)
 

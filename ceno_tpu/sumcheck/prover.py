@@ -13,6 +13,7 @@ point is LSB-first (point[j] <-> var j), i.e. challenges reversed.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -108,7 +109,40 @@ def prove(
     msgs = np.zeros((n_vars, deg + 1, 4), np.uint64)
     chals = np.zeros((n_vars, 4), np.uint64)
     merged = None
-    for rnd in range(n_vars):
+    start_rnd = 0
+    use_fused = os.environ.get("CENO_TPU_FUSED", "0") == "1"
+    if use_fused and not on_host and round_hook is None:
+        # ONE device call for all device-side rounds: on-device transcript,
+        # host replays the sponge afterwards (see sumcheck/fused.py).
+        # Opt-in (CENO_TPU_FUSED=1): the full-depth programs compile slowly
+        # through the axon tunnel on first touch.
+        from . import fused as F
+
+        k = n_vars
+        st, pos, sq_pos, absorbed = transcript.export_state()
+        msgs_dev, end_state, merged = F.fused_rounds(
+            base_bank, ext_bank, bidx, eidx, midx, scalars,
+            jnp.asarray(bb.np_to_monty(st.astype(np.uint32))),
+            deg=deg, k=k, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
+        )
+        base_bank = ext_bank = None
+        fetched = bb.np_from_monty(np.asarray(msgs_dev)).astype(np.uint64)
+        for r in range(k):
+            msgs[r] = fetched[r]
+            transcript.append(fetched[r].ravel())
+            ch = np.array(transcript.sample_ext(), np.uint64)
+            chals[r] = ch
+        end_h = bb.np_from_monty(np.asarray(end_state)).astype(np.uint64)
+        assert np.array_equal(end_h, transcript.state), (
+            "device duplex diverged from host transcript"
+        )
+        mh = bb.np_from_monty(np.asarray(merged)).astype(np.uint64)
+        merged_h = np.moveaxis(mh, 0, -1)  # (C, size, 4)
+        merged = None
+        on_host = True
+        start_rnd = k
+    pending_r = None  # device challenge whose fold is fused into the next call
+    for rnd in range(start_rnd, n_vars):
         if on_host:
             if merged_h is None:
                 ev_h = H.round_evals_host(
@@ -127,7 +161,17 @@ def prove(
             ev = T.round_evals(base_bank, ext_bank, bidx, eidx, scalars, deg=deg)
             ev_h = bb.np_from_monty(np.asarray(ev)).astype(np.uint64)
         else:
-            ev = T.round_evals_ext(merged, midx, scalars, deg=deg)
+            # fused: fold by the previous challenge + evaluate this round
+            if merged is None:
+                ev, merged = T.fold_mixed_then_round(
+                    base_bank, ext_bank, pending_r, midx, scalars, deg=deg
+                )
+                base_bank = ext_bank = None
+            else:
+                ev, merged = T.fold_ext_then_round(
+                    merged, pending_r, midx, scalars, deg=deg
+                )
+            pending_r = None
             ev_h = bb.np_from_monty(np.asarray(ev)).astype(np.uint64)
         msgs[rnd] = ev_h
         transcript.append(ev_h.ravel())
@@ -141,20 +185,22 @@ def prove(
                 base_bank_h = ext_bank_h = None
             else:
                 merged_h = H.fold_ext_bank_host(merged_h, ch)
-        else:
-            r_dev = jnp.asarray(bb.np_to_monty(ch))
-            if rnd == 0:
+            continue
+        r_dev = jnp.asarray(bb.np_to_monty(ch))
+        cur_size = base_bank.shape[1] >> rnd if merged is None else merged.shape[-1]
+        if cur_size // 2 <= H.HOST_N or rnd == n_vars - 1:
+            # unfused fold, then continue on host
+            if merged is None:
                 merged = T.fold_banks(base_bank, ext_bank, r_dev)
-                base_bank = None
-                ext_bank = None
+                base_bank = ext_bank = None
             else:
                 merged = T.fold_ext_bank(merged, r_dev)
-            if merged.shape[-1] <= H.HOST_N:
-                # switch to host for the tail rounds
-                mh = bb.np_from_monty(np.asarray(merged)).astype(np.uint64)
-                merged_h = np.moveaxis(mh, 0, -1)  # (C, half, 4)
-                merged = None
-                on_host = True
+            mh = bb.np_from_monty(np.asarray(merged)).astype(np.uint64)
+            merged_h = np.moveaxis(mh, 0, -1)  # (C, half, 4)
+            merged = None
+            on_host = True
+        else:
+            pending_r = r_dev  # folded inside the next round's fused call
 
     if n_vars == 0:
         # 0-var polys are scalars; evaluate directly

@@ -168,3 +168,25 @@ def round_evals_ext(ext_bank, idx, scalars, *, deg: int):
 def final_evals(ext_bank):
     """After all rounds each column has length 1: return (4, C) opening evals."""
     return ext_bank[..., 0]
+
+
+# Fused per-round kernels: fold by the previous challenge, then evaluate the
+# next round's univariate — ONE device call per round instead of two (the
+# axon tunnel's per-call latency dominates small rounds).
+
+@functools.partial(jax.jit, static_argnames=("deg",))
+def fold_mixed_then_round(base_bank, ext_bank, r, midx, scalars, *, deg: int):
+    merged = fold_banks(base_bank, ext_bank, r)
+    empty_base = jnp.zeros((1, merged.shape[2]), bb.DTYPE)
+    empty_bidx = jnp.zeros((midx.shape[0], 0), jnp.int32)
+    ev = round_evals(empty_base, merged, empty_bidx, midx, scalars, deg=deg)
+    return ev, merged
+
+
+@functools.partial(jax.jit, static_argnames=("deg",))
+def fold_ext_then_round(ext_bank, r, midx, scalars, *, deg: int):
+    merged = fold_ext_bank(ext_bank, r)
+    empty_base = jnp.zeros((1, merged.shape[2]), bb.DTYPE)
+    empty_bidx = jnp.zeros((midx.shape[0], 0), jnp.int32)
+    ev = round_evals(empty_base, merged, empty_bidx, midx, scalars, deg=deg)
+    return ev, merged

@@ -163,3 +163,25 @@ def test_sumcheck_rejects_wrong_claim():
         assert False, "should have raised"
     except sumcheck.verifier.SumcheckError:
         pass
+
+
+def test_sumcheck_fused_matches_unfused(monkeypatch):
+    """CENO_TPU_FUSED=1 (on-device transcript, one program) must produce
+    byte-identical proofs to the per-round path."""
+    from ceno_tpu.sumcheck import host_impl
+
+    n_vars = 9
+    base_cols = [_rand_base_mle(n_vars) for _ in range(3)]
+    terms = [
+        TermSpec(exth.from_base(2), bidx=(0, 1)),
+        TermSpec(exth.from_base(9), bidx=(1, 2)),
+    ]
+    monkeypatch.setattr(host_impl, "HOST_N", 32)
+    monkeypatch.setenv("CENO_TPU_FUSED", "0")
+    dev = [jnp.asarray(bb.np_to_monty(c)) for c in base_cols]
+    un = sumcheck.prove(list(dev), [], terms, n_vars, Transcript(b"fused-test"))
+    monkeypatch.setenv("CENO_TPU_FUSED", "1")
+    fu = sumcheck.prove(list(dev), [], terms, n_vars, Transcript(b"fused-test"))
+    np.testing.assert_array_equal(un.proof.round_msgs, fu.proof.round_msgs)
+    np.testing.assert_array_equal(un.final_base, fu.final_base)
+    np.testing.assert_array_equal(un.point, fu.point)
