@@ -44,7 +44,7 @@ from ..sumcheck import verifier as sc_verifier
 from ..sumcheck import host_impl as H
 from ..sumcheck.prover import TermSpec
 from . import ntt
-from .merkle import MerkleTree, hash_and_tree, gather_rows, verify_path
+from .merkle import MerkleTree, hash_and_tree, gather_rows, verify_path, verify_paths
 
 
 @dataclass
@@ -449,12 +449,46 @@ def verify_batch(
     if [q.index for q in proof.queries] != idxs:
         raise PCSError("query indices do not match transcript")
     inv2 = np.uint64(pow(2, bb.P - 2, bb.P))
+
+    # batched Merkle membership (one Poseidon2 batch per tree level)
+    base_idx = [q.index for q in proof.queries] + [
+        q.index + m // 2 for q in proof.queries
+    ]
+    base_vals = np.concatenate(
+        [
+            np.stack([q.base_rows[:, 0] for q in proof.queries]),
+            np.stack([q.base_rows[:, 1] for q in proof.queries]),
+        ]
+    )
+    base_paths = np.concatenate(
+        [
+            np.stack([q.base_paths[0] for q in proof.queries]),
+            np.stack([q.base_paths[1] for q in proof.queries]),
+        ]
+    )
+    if not verify_paths(root, base_idx, base_vals, base_paths):
+        raise PCSError("base Merkle paths invalid")
+    for t in range(n_committed):
+        mt = m >> (t + 1)
+        pos = [q.index % (mt // 2) for q in proof.queries]
+        lvl_idx = pos + [p + mt // 2 for p in pos]
+        lvl_vals = np.concatenate(
+            [
+                np.stack([np.asarray(q.u_rows[t][0], np.uint64) for q in proof.queries]),
+                np.stack([np.asarray(q.u_rows[t][1], np.uint64) for q in proof.queries]),
+            ]
+        )
+        lvl_paths = np.concatenate(
+            [
+                np.stack([q.u_paths[t][0] for q in proof.queries]),
+                np.stack([q.u_paths[t][1] for q in proof.queries]),
+            ]
+        )
+        if not verify_paths(proof.fold_roots[t], lvl_idx, lvl_vals, lvl_paths):
+            raise PCSError(f"fold level {t} Merkle paths invalid")
+
     for q in proof.queries:
         i = q.index
-        # base leaf membership
-        for s, pos in enumerate((i, i + m // 2)):
-            if not verify_path(root, pos, q.base_rows[:, s], q.base_paths[s]):
-                raise PCSError(f"query {i}: base Merkle path invalid at {pos}")
         # U_0 pair from base rows
         pair = []
         for s in range(2):
@@ -475,14 +509,10 @@ def verify_batch(
                 inv2,
             )
             if t < n_committed:
+                # membership of rows was verified in the batched pass above
                 rows = np.asarray(q.u_rows[t], np.uint64)
                 mt = 1 << (cur_log - 1)
                 pnext = p % (mt // 2)
-                for s, pos in enumerate((pnext, pnext + mt // 2)):
-                    if not verify_path(
-                        proof.fold_roots[t], pos, rows[s], q.u_paths[t][s]
-                    ):
-                        raise PCSError(f"query {i}: fold level {t} path invalid")
                 slot = 0 if p < mt // 2 else 1
                 if not np.array_equal(folded, rows[slot]):
                     raise PCSError(f"query {i}: fold level {t} value mismatch")

@@ -109,6 +109,34 @@ class MerkleTree:
         return np.stack(sibs) if sibs else np.zeros((0, 8), np.uint64)
 
 
+def verify_paths(
+    root: np.ndarray,
+    indices,
+    leaf_values: np.ndarray,
+    paths: np.ndarray,
+) -> bool:
+    """Batched membership check: Q paths verified with ONE Poseidon2 batch per
+    tree level (the per-query loop costs ~1ms/permute in numpy overhead alone).
+
+    indices: (Q,) leaf positions; leaf_values: (Q, C) canonical row values;
+    paths: (Q, depth, 8) sibling digests bottom-up."""
+    q = len(indices)
+    if q == 0:
+        return True
+    cur = host_hash_leaves(np.asarray(leaf_values, np.uint64).T)  # (8, Q)
+    idx = np.asarray(indices, np.int64).copy()
+    depth = paths.shape[1]
+    for lvl in range(depth):
+        sib = np.asarray(paths[:, lvl, :], np.uint64).T  # (8, Q)
+        is_right = (idx & 1)[None, :] == 1
+        left = np.where(is_right, sib, cur)
+        right = np.where(is_right, cur, sib)
+        state = np.concatenate([left, right], axis=0)  # (16, Q)
+        cur = p2.permute_host(state)[: p2.DIGEST_ELEMS]
+        idx >>= 1
+    return bool((cur == np.asarray(root, np.uint64)[:, None]).all())
+
+
 def verify_path(root: np.ndarray, index: int, leaf_values: np.ndarray, path: np.ndarray) -> bool:
     """Check a leaf (its raw column values) against the root.
 
