@@ -203,23 +203,42 @@ def _branch_cmp_chip(kind_name: str, signed: bool, on_ge: bool) -> ChipDef:
 
 
 # ---------------------------------------------------------------------------
-# Right shifts: SRLI/SRAI via SRL + POW2 tables
+# Right shifts: SRLI/SRAI (+ register-operand SRL/SRA/SLL) via SRL/SHL tables
 # ---------------------------------------------------------------------------
 
-def _shift_right_chip(kind_name: str, arith: bool) -> ChipDef:
-    name = kind_name.lower()
-    cb = CircuitBuilder(name)
-    st = C.make_state(cb)
-    rs1 = C.read_reg(cb, "rs1", st, 0)
-    rd = C.write_rd(cb, st)
-    imm_lo = cb.create_witin("imm_lo")
-    imm_hi = cb.create_witin("imm_hi")
-    imm_f = cb.create_witin("imm_f")
+def _shift_amount_from_rs2(cb, rs2):
+    """sh = rs2 & 31: rs2_lo = sh5 + rest11 * 2^5, sh5 = s_low + 16*flag."""
+    rest11 = cb.create_witin("sh_rest11")
     s_low = cb.create_witin("sh_low")
     s_flag = cb.create_witin("sh_ge16")
     cb.assert_bit("sh_flag", s_flag)
     cb.assert_u4(s_low)
-    cb.require_zero("sh_split", imm_f - s_low - s_flag * 16)
+    cb.assert_u12(rest11)
+    cb.require_zero(
+        "sh_from_rs2", rs2.lo - s_low - s_flag * 16 - rest11 * 32
+    )
+    return s_low, s_flag
+
+
+def _shift_right_chip(kind_name: str, arith: bool, from_reg: bool = False) -> ChipDef:
+    name = kind_name.lower()
+    cb = CircuitBuilder(name)
+    st = C.make_state(cb)
+    rs1 = C.read_reg(cb, "rs1", st, 0)
+    if from_reg:
+        rs2 = C.read_reg(cb, "rs2", st, 1)
+    rd = C.write_rd(cb, st)
+    if from_reg:
+        s_low, s_flag = _shift_amount_from_rs2(cb, rs2)
+    else:
+        imm_lo = cb.create_witin("imm_lo")
+        imm_hi = cb.create_witin("imm_hi")
+        imm_f = cb.create_witin("imm_f")
+        s_low = cb.create_witin("sh_low")
+        s_flag = cb.create_witin("sh_ge16")
+        cb.assert_bit("sh_flag", s_flag)
+        cb.assert_u4(s_low)
+        cb.require_zero("sh_split", imm_f - s_low - s_flag * 16)
     qh = cb.create_witin("srl_qh")
     rh = cb.create_witin("srl_rh")
     ql = cb.create_witin("srl_ql")
@@ -247,15 +266,24 @@ def _shift_right_chip(kind_name: str, arith: bool) -> ChipDef:
         "sr_hi", rd.gate() * (rd.hi - (1 - s_flag) * hi_no - s_flag * hi_fl)
     )
     C.gs_chain(cb, st, st.pc + 4)
-    C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
+    if from_reg:
+        C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
+    else:
+        C.fetch(cb, st, K[kind_name], rd.reg_id, rs1.reg_id, 0, imm_lo, imm_hi, imm_f)
 
     def assign(v):
         cols = _state_cols(v)
         ts = cols["ts"]
         cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
         cols.update(_rd_cols(v, ts + 2))
-        cols.update(_imm_cols_witgen(K[kind_name], v))
-        sh = cols["imm_f"]
+        if from_reg:
+            cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+            rs2_lo = v.rs2_val.astype(np.uint64) & MASK16
+            sh = rs2_lo & 31
+            cols["sh_rest11"] = rs2_lo >> 5
+        else:
+            cols.update(_imm_cols_witgen(K[kind_name], v))
+            sh = cols["imm_f"]
         slow = sh & 15
         a = v.rs1_val.astype(np.uint64)
         a_lo, a_hi = a & MASK16, a >> 16
@@ -270,6 +298,58 @@ def _shift_right_chip(kind_name: str, arith: bool) -> ChipDef:
         return cols
 
     return ChipDef(name, (K[kind_name],), cb, compile_chip(cb), assign)
+
+
+def _shift_left_reg_chip() -> ChipDef:
+    """SLL: register-operand left shift via the SHL table."""
+    cb = CircuitBuilder("sll")
+    st = C.make_state(cb)
+    rs1 = C.read_reg(cb, "rs1", st, 0)
+    rs2 = C.read_reg(cb, "rs2", st, 1)
+    rd = C.write_rd(cb, st)
+    s_low, s_flag = _shift_amount_from_rs2(cb, rs2)
+    ll = cb.create_witin("shl_ll")
+    lh = cb.create_witin("shl_lh")
+    hl = cb.create_witin("shl_hl")
+    hh = cb.create_witin("shl_hh")
+    cb.lk_record(LK_SHL, [rs1.lo, s_low, ll, lh])
+    cb.lk_record(LK_SHL, [rs1.hi, s_low, hl, hh])
+    r1l = cb.create_witin("shl_r1l")
+    r1c = cb.create_witin("shl_r1c")
+    cb.assert_bit("sll_r1c", r1c)
+    cb.assert_u16(r1l)
+    cb.require_zero("sll_r1", lh + hl - r1l - r1c * (1 << 16))
+    cb.require_zero("sll_lo", rd.gate() * (rd.lo - (1 - s_flag) * ll))
+    cb.require_zero(
+        "sll_hi", rd.gate() * (rd.hi - (1 - s_flag) * r1l - s_flag * ll)
+    )
+    C.gs_chain(cb, st, st.pc + 4)
+    C.fetch(cb, st, K["SLL"], rd.reg_id, rs1.reg_id, rs2.reg_id, 0, 0, 0)
+
+    def assign(v):
+        cols = _state_cols(v)
+        ts = cols["ts"]
+        cols.update(_reg_read_cols("rs1", "rs1", v, ts + 0))
+        cols.update(_reg_read_cols("rs2", "rs2", v, ts + 1))
+        cols.update(_rd_cols(v, ts + 2))
+        rs2_lo = v.rs2_val.astype(np.uint64) & MASK16
+        sh = rs2_lo & 31
+        cols["sh_rest11"] = rs2_lo >> 5
+        slow = sh & 15
+        cols.update({"sh_low": slow, "sh_ge16": sh >> 4})
+        a = v.rs1_val.astype(np.uint64)
+        pl = (a & MASK16) << slow
+        ph = (a >> 16) << slow
+        ll, lh = pl & MASK16, pl >> 16
+        hl, hh = ph & MASK16, ph >> 16
+        r1 = lh + hl
+        cols.update({
+            "shl_ll": ll, "shl_lh": lh, "shl_hl": hl, "shl_hh": hh,
+            "shl_r1l": r1 & MASK16, "shl_r1c": r1 >> 16,
+        })
+        return cols
+
+    return ChipDef("sll", (K["SLL"],), cb, compile_chip(cb), assign)
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +589,9 @@ def build_extended_chips() -> list:
         _branch_cmp_chip("BGEU", False, True),
         _shift_right_chip("SRLI", False),
         _shift_right_chip("SRAI", True),
+        _shift_right_chip("SRL", False, from_reg=True),
+        _shift_right_chip("SRA", True, from_reg=True),
+        _shift_left_reg_chip(),
         _jalr_chip(),
         _auipc_chip(),
         _byte_mem_chip("LB"),

@@ -30,6 +30,14 @@ TORTURE = """
     srai s9, t1, 3
     srli s10, t1, 20
     srai s11, t1, 29
+    li t4, 7
+    sll a4, t1, t4
+    srl a5, t1, t4
+    sra a6, t2, t4
+    li t4, 21
+    sll a7, t1, t4
+    srl s2, t1, t4
+    sra s3, t2, t4
     blt t2, t1, l1
     addi zero, zero, 0
 l1:
@@ -107,7 +115,7 @@ def test_torture_executes_correctly():
                "SLTI", "SLTIU", "SRLI", "SRAI", "BLT", "BGE", "BLTU", "BGEU",
                "AUIPC", "JAL", "JALR", "LB", "LBU", "LH", "LHU", "SB", "SH",
                "LW", "SW", "SUB", "MUL", "MULH", "MULHU", "MULHSU",
-               "DIV", "DIVU", "REM", "REMU"):
+               "DIV", "DIVU", "REM", "REMU", "SLL", "SRL", "SRA"):
         assert op in kinds, f"torture guest never executed {op}"
     # M-extension semantic spot checks vs python ints
     t1v, t2v = 0x1234ABCD, 0xFFF0F00F
