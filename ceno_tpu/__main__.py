@@ -51,6 +51,7 @@ def main(argv=None):
         p.add_argument("guest")
         if name == "verify":
             p.add_argument("proof")
+            p.add_argument("--profile", choices=("test", "prod"), default="prod")
         else:
             p.add_argument("--hints", default="")
             p.add_argument("--max-steps", type=int, default=1 << 24)
@@ -96,7 +97,18 @@ def main(argv=None):
     from .emulator.rv32im import assemble
     from .emulator.state import make_program
 
-    proof, pv, cfg, params = proof_from_bytes(open(args.proof, "rb").read())
+    # cfg/params are PINNED verifier-side (--profile): proof bytes are
+    # untrusted, so the embedded copies are only cross-checked, never used
+    # (an attacker must not get to choose n_queries / blowup — ADVICE.md).
+    cfg, params = _profiles(args.profile)
+    proof, pv, em_cfg, em_params = proof_from_bytes(open(args.proof, "rb").read())
+    if em_params != params or em_cfg != cfg:
+        print(
+            f"verify: FAIL — proof was produced under different parameters "
+            f"than the pinned --profile {args.profile} "
+            f"(embedded {em_params}, pinned {params})"
+        )
+        return 1
     rom = Platform.rom_start
     src = open(args.guest).read().format(
         heap=Platform.heap_start, hints=Platform.hints_start

@@ -601,8 +601,11 @@ def verify_chip(
             batched, exth.mul(meta["a_q"], exth.sub(logup_claims[0][1], one))
         )
 
+    main_deg = max(
+        (len(t.cols) + 1 for s in compiled.slots for t in s.terms), default=1
+    )
     point, final_claim = sc_verifier.verify(
-        batched, proof.main_msgs, n_vars, transcript
+        batched, proof.main_msgs, n_vars, transcript, deg=main_deg
     )
     transcript.append(proof.wit_evals.ravel())
     transcript.append(proof.fixed_evals.ravel())

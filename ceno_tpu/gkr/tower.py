@@ -445,7 +445,7 @@ def verify_towers(
             batched = exth.add(batched, exth.mul(alphas[a + 1], logup_claims[s][1]))
             a += 2
         point, final_claim = sc_verifier.verify(
-            batched, proof.round_msgs[level - 1], level, transcript
+            batched, proof.round_msgs[level - 1], level, transcript, deg=3
         )
         evals = np.asarray(proof.level_evals[level - 1], np.uint64)
         # recombination check: final_claim == eq(rt, point) * sum alpha_i * rel_i

@@ -10,16 +10,28 @@ Batched opening protocol (one height class, C columns, K points):
   1. gamma <- transcript; per CLAIMED (point k, column j) pair a weight
      c_jk = gamma^t (t = running claim index). Unclaimed pairs weigh 0.
   2. Prover combines per point: F_k = sum_j c_jk f_j (ONE ext column per
-     point), and the fold oracle U_0 = sum_jk c_jk cw_j over codewords.
+     point), and K fold oracles U_0^(k) = sum_j c_jk cw_j — one PER POINT,
+     all folded with the shared challenges, committed together (one Merkle
+     tree per fold level over the concatenated K-tuple rows).
   3. Sumcheck over sum_x sum_k eq(x, z_k) F_k(x) = sum c_jk y_jk, degree 2,
-     K terms. After each challenge r_t the prover folds
-     U_{t+1}[i] = ((U_t[i]+U_t[i+M/2]) + r_t * w_M^{-i} (U_t[i]-U_t[i+M/2]))/2
-     and absorbs the Merkle root of U_{t+1} (so r_{t+1} binds it); once the
-     codeword is <= STOP_SIZE it is sent in full instead.
+     K terms. After each challenge r_t the prover folds every oracle
+     U_{t+1}^k[i] = ((U_t^k[i]+U_t^k[i+M/2]) + r_t w_M^{-i}(U_t^k[i]-U_t^k[i+M/2]))/2
+     and absorbs the Merkle root of the level (so r_{t+1} binds it); once the
+     codewords are <= STOP_SIZE they are sent in full instead.
   4. F_k(point) final evals are absorbed; queries sampled; each query opens
-     the base leaf pair and every committed fold level's pair, and the
-     verifier replays the fold chain down to the in-clear tail, whose own
-     folds must collapse to the constant h(point) = sum_k F_k(point).
+     the base leaf pair and every committed fold level's K-tuple pair, and
+     the verifier replays each of the K fold chains down to the in-clear
+     tail; tail k's own folds must collapse to the CONSTANT F_k(point),
+     binding every per-point eval individually.
+
+Per-point oracles are the soundness fix for the round-1 scheme, which folded
+only the single combined oracle sum_k U^(k): that bound just sum_k F_k(point),
+leaving K>=2 point evals under-constrained (a cheating prover could shift the
+sumcheck messages by a constant and pick point_evals offsets d_k with
+sum d_k = 0, sum eq_k(point) d_k = Delta — both checks passed while forging
+arbitrary opening values). With one fold chain per point, each F_k(point) is
+forced by its own chain's random spot checks (standard single-point Basefold
+soundness applied K times with shared challenges).
 
 The domain/variable-order trick that makes codeword folding bind the SAME
 variable as a top-variable sumcheck round is documented in pcs/ntt.py.
@@ -84,15 +96,15 @@ class QueryProof:
     index: int
     base_rows: np.ndarray   # (C, 2) canonical: rows (i, i+M/2)
     base_paths: np.ndarray  # (2, depth, 8)
-    u_rows: list            # per committed fold level: (2, 4) canonical
+    u_rows: list            # per committed fold level: (2, K, 4) canonical
     u_paths: list           # per committed fold level: (2, depth_t, 8)
 
 
 @dataclass
 class OpeningProof:
     sumcheck_msgs: np.ndarray  # (n, 3, 4) canonical
-    fold_roots: list           # [(8,) canonical] for committed U_t
-    tail: np.ndarray           # (S, 4) canonical in-clear codeword
+    fold_roots: list           # [(8,) canonical] for committed U_t levels
+    tail: np.ndarray           # (K, S, 4) canonical in-clear codewords
     point_evals: np.ndarray    # (K, 4): F_k(point)
     queries: list = field(default_factory=list)
 
@@ -119,11 +131,21 @@ def combine_columns(cols, weights):
 
 
 @jax.jit
-def fold_codeword_and_tree(u, r, invw):
-    """Fused fold + Merkle for the committed fold oracles (one device call)."""
-    folded = fold_codeword(u, r, invw)
-    leaves, levels = hash_and_tree(folded.reshape(4, folded.shape[1]))
+def fold_codewords_and_tree(us, r, invw):
+    """Fused fold + Merkle of the K per-point oracles (one device call).
+
+    us (K, 4, M) -> folded (K, 4, M/2) plus the Merkle tree over the
+    concatenated (4K, M/2) rows (leaf i commits the K-tuple at position i)."""
+    folded = jax.vmap(lambda u: fold_codeword(u, r, invw))(us)
+    k, _, m = folded.shape
+    leaves, levels = hash_and_tree(folded.reshape(k * 4, m))
     return folded, leaves, levels
+
+
+@jax.jit
+def fold_codewords(us, r, invw):
+    """us (K, 4, M) -> (K, 4, M/2)."""
+    return jax.vmap(lambda u: fold_codeword(u, r, invw))(us)
 
 
 @jax.jit
@@ -223,23 +245,26 @@ def open_batch(
     w, _ = _claim_weights(claims, k, n_cols, gamma)
     on_host = isinstance(committed.cols, np.ndarray)
 
-    # per-point combined columns F_k and eq columns
+    # per-point combined columns F_k, eq columns, and per-point fold oracles
     ext_cols = []
-    w_total = w.sum(axis=0) % np.uint64(bb.P)  # (C, 4)
     if on_host:
         for kk in range(k):
             ext_cols.append(H.build_eq_host(points[kk].astype(np.uint64)))
         for kk in range(k):
             ext_cols.append(_combine_host(committed.cols, w[kk]))
         u = None
-        u_host = _combine_host(committed.codeword, w_total)
+        u_host = np.stack(
+            [_combine_host(committed.codeword, w[kk]) for kk in range(k)]
+        )  # (K, M, 4)
     else:
         for kk in range(k):
             ext_cols.append(ops.build_eq_jit(jnp.asarray(bb.np_to_monty(points[kk]))))
         w_dev = [jnp.asarray(bb.np_to_monty(w[kk].T)) for kk in range(k)]  # (4, C)
         for kk in range(k):
             ext_cols.append(combine_columns(committed.cols, w_dev[kk]))
-        u = combine_columns(committed.codeword, jnp.asarray(bb.np_to_monty(w_total.T)))
+        u = jnp.stack(
+            [combine_columns(committed.codeword, w_dev[kk]) for kk in range(k)]
+        )  # (K, 4, M)
         u_host = None
     term_list = [
         TermSpec(exth.one(), eidx=(kk, k + kk)) for kk in range(k)
@@ -255,6 +280,13 @@ def open_batch(
         "tail": None,
     }
 
+    def _u_to_host():
+        # (K, 4, M) device Monty -> (K, M, 4) host canonical
+        fold_state["u_host"] = np.moveaxis(
+            bb.np_from_monty(np.asarray(fold_state["u"])).astype(np.uint64), 1, 2
+        )
+        fold_state["u"] = None
+
     def hook(rnd, ch):
         cur_log = fold_state["log_m"]
         invw = ntt.domain_pow_inv(cur_log)
@@ -266,7 +298,7 @@ def open_batch(
         if fold_state["u_host"] is None and (1 << cur_log) > 4 * H.HOST_N:
             if needs_tree:
                 # fused fold + Merkle: one device call per committed level
-                nu, leaves, levels = fold_codeword_and_tree(
+                nu, leaves, levels = fold_codewords_and_tree(
                     fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
                     jnp.asarray(bb.np_to_monty(invw)),
                 )
@@ -278,30 +310,29 @@ def open_batch(
                 fold_state["log_m"] = cur_log - 1
                 transcript.append(tree.root)
                 return
-            fold_state["u"] = fold_codeword(
+            fold_state["u"] = fold_codewords(
                 fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
                 jnp.asarray(bb.np_to_monty(invw)),
             )
         else:
             if fold_state["u_host"] is None:
-                fold_state["u_host"] = (
-                    bb.np_from_monty(np.asarray(fold_state["u"])).astype(np.uint64).T
-                )
-                fold_state["u"] = None
-            fold_state["u_host"] = _fold_host(fold_state["u_host"], ch, invw)
+                _u_to_host()
+            fold_state["u_host"] = np.stack(
+                [_fold_host(fold_state["u_host"][kk], ch, invw) for kk in range(k)]
+            )
         fold_state["log_m"] = cur_log - 1
         if fold_state["tail"] is not None:
             return  # already in clear; nothing to absorb
         if not needs_tree:
             if fold_state["u_host"] is None:
-                fold_state["u_host"] = (
-                    bb.np_from_monty(np.asarray(fold_state["u"])).astype(np.uint64).T
-                )
-                fold_state["u"] = None
-            fold_state["tail"] = fold_state["u_host"].copy()
+                _u_to_host()
+            fold_state["tail"] = fold_state["u_host"].copy()  # (K, S, 4)
             transcript.append(fold_state["tail"].ravel())
         else:
-            tree = MerkleTree.build_host(fold_state["u_host"].T)
+            mt = 1 << fold_state["log_m"]
+            tree = MerkleTree.build_host(
+                fold_state["u_host"].transpose(0, 2, 1).reshape(k * 4, mt)
+            )
             fold_state["dev_levels"].append(None)
             fold_state["host_levels"].append(fold_state["u_host"])
             fold_state["trees"].append(tree)
@@ -332,11 +363,16 @@ def open_batch(
             [[i % (mt // 2), i % (mt // 2) + mt // 2] for i in idxs], np.int32
         ).ravel()
         if fold_state["dev_levels"][t] is not None:
-            vals = bb.np_from_monty(
-                np.asarray(gather_rows(fold_state["dev_levels"][t], jnp.asarray(pair_idx)))
-            ).astype(np.uint64).T  # (2Q, 4)
+            dv = fold_state["dev_levels"][t]  # (K, 4, mt)
+            flat = dv.reshape(k * 4, dv.shape[2])
+            vals = (
+                bb.np_from_monty(np.asarray(gather_rows(flat, jnp.asarray(pair_idx))))
+                .astype(np.uint64)
+                .reshape(k, 4, -1)
+                .transpose(2, 0, 1)
+            )  # (2Q, K, 4)
         else:
-            vals = fold_state["host_levels"][t][pair_idx]
+            vals = fold_state["host_levels"][t][:, pair_idx, :].transpose(1, 0, 2)
         level_rows.append(vals)
 
     queries = []
@@ -413,7 +449,8 @@ def verify_batch(
             state["next_root"] += 1
 
     point, final_claim = sc_verifier.verify(
-        batched_claim, proof.sumcheck_msgs, n_vars, transcript, round_hook=hook
+        batched_claim, proof.sumcheck_msgs, n_vars, transcript, deg=2,
+        round_hook=hook,
     )
     if state["next_root"] != n_committed:
         raise PCSError("fold root count mismatch")
@@ -428,23 +465,23 @@ def verify_batch(
         raise PCSError("opening sumcheck recombination mismatch")
     transcript.append(np.asarray(proof.point_evals, np.uint64).ravel())
 
-    # tail folds to the constant h(point)
-    h_r = np.zeros(4, np.uint64)
-    for kk in range(k):
-        h_r = exth.add(h_r, proof.point_evals[kk])
+    # each tail k folds to the CONSTANT F_k(point) — binds every point eval
     tail = np.asarray(proof.tail, np.uint64)
     tail_rounds_done = n_committed + 1  # folds before the tail was emitted
     tail_log = (m.bit_length() - 1) - tail_rounds_done
-    assert tail.shape[0] == 1 << tail_log, "tail size mismatch"
-    cur = tail
-    for t in range(tail_rounds_done, n_vars):
-        cur = _fold_host(cur, chals[t], ntt.domain_pow_inv(tail_log))
-        tail_log -= 1
-    if not all(np.array_equal(cur[i], h_r) for i in range(cur.shape[0])):
-        raise PCSError("final codeword is not the expected constant")
+    if tail.ndim != 3 or tail.shape != (k, 1 << tail_log, 4):
+        raise PCSError("tail shape mismatch")
+    for kk in range(k):
+        cur = tail[kk]
+        tl = tail_log
+        for t in range(tail_rounds_done, n_vars):
+            cur = _fold_host(cur, chals[t], ntt.domain_pow_inv(tl))
+            tl -= 1
+        pe = np.asarray(proof.point_evals[kk], np.uint64)
+        if not all(np.array_equal(cur[i], pe) for i in range(cur.shape[0])):
+            raise PCSError(f"tail {kk} is not the constant F_k(point)")
 
     # query phase
-    w_total = w.sum(axis=0) % np.uint64(bb.P)  # (C, 4)
     idxs = [transcript.sample_base() % (m // 2) for _ in range(params.n_queries)]
     if [q.index for q in proof.queries] != idxs:
         raise PCSError("query indices do not match transcript")
@@ -472,10 +509,14 @@ def verify_batch(
         mt = m >> (t + 1)
         pos = [q.index % (mt // 2) for q in proof.queries]
         lvl_idx = pos + [p + mt // 2 for p in pos]
+        rows_t = [np.asarray(q.u_rows[t], np.uint64) for q in proof.queries]
+        for rt in rows_t:
+            if rt.shape != (2, k, 4):
+                raise PCSError(f"fold level {t} row shape mismatch")
         lvl_vals = np.concatenate(
             [
-                np.stack([np.asarray(q.u_rows[t][0], np.uint64) for q in proof.queries]),
-                np.stack([np.asarray(q.u_rows[t][1], np.uint64) for q in proof.queries]),
+                np.stack([rt[0].reshape(-1) for rt in rows_t]),
+                np.stack([rt[1].reshape(-1) for rt in rows_t]),
             ]
         )
         lvl_paths = np.concatenate(
@@ -489,39 +530,50 @@ def verify_batch(
 
     for q in proof.queries:
         i = q.index
-        # U_0 pair from base rows
-        pair = []
-        for s in range(2):
-            v = np.zeros(4, np.uint64)
-            for j in range(n_cols):
-                v = exth.add(v, exth.mul_base(w_total[j], int(q.base_rows[j, s])))
-            pair.append(v)
+        # per-point U_0^(k) pairs from base rows
+        pairs = []
+        for kk in range(k):
+            pair = []
+            for s in range(2):
+                v = np.zeros(4, np.uint64)
+                for j in range(n_cols):
+                    v = exth.add(v, exth.mul_base(w[kk, j], int(q.base_rows[j, s])))
+                pair.append(v)
+            pairs.append(pair)
         cur_log = m.bit_length() - 1
         p = i
         for t in range(tail_rounds_done):
             invw = ntt.domain_pow_inv(cur_log)[p]
-            a, b = pair
-            folded = exth.mul_base(
-                exth.add(
-                    exth.add(a, b),
-                    exth.mul(exth.mul_base(exth.sub(a, b), invw), chals[t]),
-                ),
-                inv2,
-            )
+            folded = []
+            for kk in range(k):
+                a, b = pairs[kk]
+                folded.append(
+                    exth.mul_base(
+                        exth.add(
+                            exth.add(a, b),
+                            exth.mul(exth.mul_base(exth.sub(a, b), invw), chals[t]),
+                        ),
+                        inv2,
+                    )
+                )
             if t < n_committed:
                 # membership of rows was verified in the batched pass above
-                rows = np.asarray(q.u_rows[t], np.uint64)
+                rows = np.asarray(q.u_rows[t], np.uint64)  # (2, K, 4)
                 mt = 1 << (cur_log - 1)
                 pnext = p % (mt // 2)
                 slot = 0 if p < mt // 2 else 1
-                if not np.array_equal(folded, rows[slot]):
-                    raise PCSError(f"query {i}: fold level {t} value mismatch")
-                pair = [rows[0], rows[1]]
+                for kk in range(k):
+                    if not np.array_equal(folded[kk], rows[slot, kk]):
+                        raise PCSError(
+                            f"query {i}: fold level {t} value mismatch (point {kk})"
+                        )
+                pairs = [[rows[0, kk], rows[1, kk]] for kk in range(k)]
                 p = pnext
                 cur_log -= 1
             else:
-                # folded lands in the in-clear tail
-                if not np.array_equal(folded, tail[p]):
-                    raise PCSError(f"query {i}: tail value mismatch")
+                # folded lands in the in-clear tails
+                for kk in range(k):
+                    if not np.array_equal(folded[kk], tail[kk, p]):
+                        raise PCSError(f"query {i}: tail value mismatch (point {kk})")
                 break
     return True

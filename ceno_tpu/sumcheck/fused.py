@@ -59,22 +59,49 @@ class _DeviceDuplex:
         return jnp.stack(vals)
 
 
+# Physical size cap for the scan stage: head rounds run unrolled until the
+# merged bank is at most 2^SCAN_MAX_LOG wide, bounding both the per-round
+# stretched work (C * 2^SCAN_MAX_LOG) and the unrolled program size.
+SCAN_MAX_LOG = 14
+
+from ..fields import ext4  # noqa: E402
+
+
+def pick_head(n_vars: int) -> int:
+    """Unrolled head rounds before the scan stage (round 0 is always head)."""
+    return min(max(0, n_vars - 1 - SCAN_MAX_LOG), max(n_vars - 1, 0))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("deg", "k", "pos", "sq_pos", "absorbed")
+    jax.jit, static_argnames=("deg", "k", "pos", "sq_pos", "absorbed", "head")
 )
 def fused_rounds(
     base_bank, ext_bank, bidx, eidx, midx, scalars, t_state,
-    *, deg: int, k: int, pos: int, sq_pos: int, absorbed: bool,
+    *, deg: int, k: int, pos: int, sq_pos: int, absorbed: bool, head: int = 0,
 ):
-    """Run k sumcheck rounds (evals + transcript + fold) on device.
+    """Run ALL k sumcheck rounds (evals + transcript + fold) on device in one
+    XLA program.
 
-    Returns (msgs (k, deg+1, 4) Monty, final sponge state, merged bank after
-    k folds). Round 0 consumes the mixed base/ext banks; later rounds the
-    merged ext bank."""
+    Rounds 0..head are unrolled (bank halves each round, so the big-N work
+    decays geometrically); the remaining k-1-head rounds run under ONE
+    ``lax.scan`` at a fixed physical size S = N/2^(head+1) using a
+    block-stretched layout: after each scan fold the half-size result is
+    ``jnp.repeat``-ed x2, so phys[i] = logical[i // 2^j] and every iteration
+    has identical shapes. A stretched round sum overcounts each logical
+    element 2^j times, corrected by multiplying the message by inv(2^j).
+    This keeps the traced program O(head + 1) round bodies instead of O(k) —
+    the round-1 full unroll took >10 min to compile through the axon tunnel.
+
+    The duplex enters every scan iteration at the (pos=0, sq_pos=4,
+    absorbed=False) fixed point: each round absorbs >= 1 element then
+    samples, and sample_ext always permutes after an absorb.
+
+    Returns (msgs (k, deg+1, 4) Monty, final sponge state, merged bank of
+    logical size 1: (4, C, 1))."""
     duplex = _DeviceDuplex(t_state, pos, sq_pos, absorbed)
     msgs = []
     merged = None
-    for rnd in range(k):
+    for rnd in range(head + 1):
         if rnd == 0:
             ev = T.round_evals(base_bank, ext_bank, bidx, eidx, scalars, deg=deg)
         else:
@@ -86,4 +113,33 @@ def fused_rounds(
             merged = T.fold_banks(base_bank, ext_bank, ch)
         else:
             merged = T.fold_ext_bank(merged, ch)
-    return jnp.stack(msgs), duplex.state, merged
+    n_scan = k - 1 - head
+    if n_scan <= 0:
+        return jnp.stack(msgs), duplex.state, merged
+
+    # inv(2^j) Monty correction factors, j = 1..n_scan (stretch factor at
+    # scan step j is 2^j: the bank was repeated once per completed scan step)
+    inv2 = pow(2, bb.P - 2, bb.P)
+    invf = jnp.asarray(
+        bb.np_to_monty(
+            np.array([pow(inv2, j, bb.P) for j in range(n_scan)], np.uint64)
+            .astype(np.uint32)
+        )
+    )
+
+    def body(carry, invf_j):
+        bank, st = carry
+        d = _DeviceDuplex(st, 0, 4, False)
+        ev = T.round_evals_ext(bank, midx, scalars, deg=deg)
+        ev = bb.mul(invf_j, ev)
+        d.append(ev.reshape(-1))
+        ch = d.sample_ext()
+        half = bank.shape[2] // 2
+        a = bank[:, :, :half]
+        b = bank[:, :, half:]
+        c = ext4.add(a, ext4.mul(ch[:, None, None], ext4.sub(b, a)))
+        return (jnp.repeat(c, 2, axis=2), d.state), ev
+
+    (bank, st), scan_msgs = jax.lax.scan(body, (merged, duplex.state), invf)
+    all_msgs = jnp.concatenate([jnp.stack(msgs), scan_msgs], axis=0)
+    return all_msgs, st, bank[:, :, :1]

@@ -110,12 +110,12 @@ def prove(
     chals = np.zeros((n_vars, 4), np.uint64)
     merged = None
     start_rnd = 0
-    use_fused = os.environ.get("CENO_TPU_FUSED", "0") == "1"
+    use_fused = os.environ.get("CENO_TPU_FUSED", "1") == "1"
     if use_fused and not on_host and round_hook is None:
         # ONE device call for all device-side rounds: on-device transcript,
-        # host replays the sponge afterwards (see sumcheck/fused.py).
-        # Opt-in (CENO_TPU_FUSED=1): the full-depth programs compile slowly
-        # through the axon tunnel on first touch.
+        # host replays the sponge afterwards (see sumcheck/fused.py). Default
+        # since round 2: the scan-stage program compiles in normal time (the
+        # round-1 full unroll was >10 min through the axon tunnel).
         from . import fused as F
 
         k = n_vars
@@ -124,6 +124,7 @@ def prove(
             base_bank, ext_bank, bidx, eidx, midx, scalars,
             jnp.asarray(bb.np_to_monty(st.astype(np.uint32))),
             deg=deg, k=k, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
+            head=F.pick_head(k),
         )
         base_bank = ext_bank = None
         fetched = bb.np_from_monty(np.asarray(msgs_dev)).astype(np.uint64)

@@ -53,13 +53,27 @@ def verify(
     round_msgs: np.ndarray,
     n_vars: int,
     transcript: Transcript,
+    deg: int | None = None,
     round_hook=None,
 ):
     """Returns (point (n,4) LSB-first, final_claim (4,)). Raises on mismatch.
 
+    ``deg`` is the expected max monomial degree; round messages whose node
+    count differs from deg+1 are rejected (inflated-degree messages add
+    soundness slack and quadratic Lagrange cost — a DoS vector).
+
     ``round_hook(rnd, challenge)`` replays any prover-side per-round transcript
     absorption (e.g. Basefold fold-oracle roots)."""
     claim = np.asarray(claim, np.uint64)
+    round_msgs = np.asarray(round_msgs, np.uint64)
+    if round_msgs.shape[0] != n_vars:
+        raise SumcheckError(
+            f"expected {n_vars} round messages, got {round_msgs.shape[0]}"
+        )
+    if deg is not None and n_vars > 0 and round_msgs.shape[1] != deg + 1:
+        raise SumcheckError(
+            f"round message has {round_msgs.shape[1]} nodes, expected {deg + 1}"
+        )
     chals = np.zeros((n_vars, 4), np.uint64)
     for rnd in range(n_vars):
         msg = np.asarray(round_msgs[rnd], np.uint64)

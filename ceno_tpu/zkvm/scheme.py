@@ -252,8 +252,8 @@ def verify(vk: VerifyingKey, proof: ZKVMProof) -> bool:
     for ci, meta in enumerate(vk.metas):
         k = proof.num_instances[ci]
         h = _pow2_height(k)
-        if meta.is_table:
-            assert k == meta.table_rows, f"{meta.name}: table height mismatch"
+        if meta.is_table and k != meta.table_rows:
+            raise ZKVMError(f"{meta.name}: table height mismatch")
         n_wit = len(meta.cb.wit_names)
         off = sum(e[2] for e in wit_layout.get(h, []))
         wit_layout.setdefault(h, []).append((ci, off, n_wit))

@@ -185,3 +185,33 @@ def test_sumcheck_fused_matches_unfused(monkeypatch):
     np.testing.assert_array_equal(un.proof.round_msgs, fu.proof.round_msgs)
     np.testing.assert_array_equal(un.final_base, fu.final_base)
     np.testing.assert_array_equal(un.point, fu.point)
+
+
+def test_sumcheck_fused_head_rounds_match(monkeypatch):
+    """Unrolled-head + scan-stage split must stay byte-identical to the
+    per-round path at every head depth."""
+    from ceno_tpu.sumcheck import host_impl, fused
+
+    n_vars = 9
+    base_cols = [_rand_base_mle(n_vars) for _ in range(2)]
+    ext_cols = [_rand_ext_mle(n_vars)]
+    terms = [
+        TermSpec(exth.from_base(3), bidx=(0, 1), eidx=(0,)),
+        TermSpec(exth.from_base(11), eidx=(0,)),
+    ]
+    monkeypatch.setattr(host_impl, "HOST_N", 32)
+    monkeypatch.setenv("CENO_TPU_FUSED", "0")
+    dev_b = [jnp.asarray(bb.np_to_monty(c)) for c in base_cols]
+    dev_e = [jnp.asarray(bb.np_to_monty(c)) for c in ext_cols]
+    un = sumcheck.prove(
+        list(dev_b), list(dev_e), terms, n_vars, Transcript(b"fused-head")
+    )
+    monkeypatch.setenv("CENO_TPU_FUSED", "1")
+    for scan_max in (4, 6, 20):  # head = 4, 2, 0
+        monkeypatch.setattr(fused, "SCAN_MAX_LOG", scan_max)
+        fu = sumcheck.prove(
+            list(dev_b), list(dev_e), terms, n_vars, Transcript(b"fused-head")
+        )
+        np.testing.assert_array_equal(un.proof.round_msgs, fu.proof.round_msgs)
+        np.testing.assert_array_equal(un.final_ext, fu.final_ext)
+        np.testing.assert_array_equal(un.point, fu.point)

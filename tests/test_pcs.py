@@ -135,3 +135,155 @@ def test_basefold_rejects_tampered_query():
         assert False
     except basefold.PCSError:
         pass
+
+
+def test_basefold_rejects_shifted_message_forgery():
+    """Regression for the round-1 under-constrained batch opening (ADVICE.md):
+    a malicious prover folds the oracles HONESTLY, claims a false value for
+    one (point, column) pair, shifts every sumcheck round message by the
+    compensating constant (D_r = Delta/2^{r+1}), and picks point_evals
+    offsets d_k with sum(d) = 0 and sum(eq_k(r) d_k) = Delta/2^n.  Under the
+    round-1 scheme both global checks passed; the per-point fold oracles must
+    reject because tail k no longer collapses to the shifted F_k(point)."""
+    from ceno_tpu.pcs.basefold import (
+        _claim_weights, _combine_host, _fold_host, QueryProof, OpeningProof,
+    )
+    from ceno_tpu.sumcheck import host_impl as H
+
+    params = BasefoldParams(blowup_log=1, n_queries=6, stop_size=16)
+    n_vars, n_cols, k = 6, 3, 2
+    n = 1 << n_vars
+    m = n << params.blowup_log
+    cols = rng.integers(0, bb.P, size=(n_cols, n), dtype=np.uint32)
+    committed = basefold.commit(jnp.asarray(bb.np_to_monty(cols)), params)
+    assert isinstance(committed.cols, np.ndarray)  # host path
+    points = rng.integers(0, bb.P, size=(k, n_vars, 4), dtype=np.uint32).astype(
+        np.uint64
+    )
+
+    def host_eval(col, point):
+        cur = exth.from_base(col.astype(np.uint64))
+        for j in range(n_vars - 1, -1, -1):
+            half = cur.shape[0] // 2
+            lo, hi = cur[:half], cur[half:]
+            cur = exth.add(lo, exth.mul(point[j][None, :], exth.sub(hi, lo)))
+        return cur[0]
+
+    true_vals = []
+    claims = []
+    for j in range(n_cols):
+        kk = j % k
+        v = host_eval(cols[j], points[kk])
+        true_vals.append(v)
+        claims.append(Claim(kk, j, v))
+    # forge: claim 0's value shifted by delta
+    delta = exth.from_base(7)
+    claims[0] = Claim(claims[0].point_idx, claims[0].col_idx,
+                      exth.add(claims[0].value, delta))
+
+    t = Transcript(b"pcs")
+    t.append(committed.root)
+    gamma = np.array(t.sample_ext(), np.uint64)
+    w, _ = _claim_weights(claims, k, n_cols, gamma)
+
+    eqs = [H.build_eq_host(points[kk]) for kk in range(k)]       # (n, 4) each
+    fs = [_combine_host(committed.cols, w[kk]) for kk in range(k)]
+    us = np.stack([_combine_host(committed.codeword, w[kk]) for kk in range(k)])
+
+    inv2 = np.uint64(pow(2, bb.P - 2, bb.P))
+    msgs = np.zeros((n_vars, 3, 4), np.uint64)
+    chals = []
+    fold_roots, trees, tail = [], [], None
+    log_m = n_vars + params.blowup_log
+    dev_levels = []  # canonical (k, m_t, 4) committed levels
+    shift = delta.copy()
+    for rnd in range(n_vars):
+        # honest message + constant shift/2
+        shift = exth.mul_base(shift, inv2)  # Delta / 2^{rnd+1}
+        for node in range(3):
+            acc = np.zeros(4, np.uint64)
+            tnode = exth.from_base(node)
+            for kk in range(k):
+                half = eqs[kk].shape[0] // 2
+                e = exth.add(
+                    eqs[kk][:half],
+                    exth.mul(tnode, exth.sub(eqs[kk][half:], eqs[kk][:half])),
+                )
+                f = exth.add(
+                    fs[kk][:half],
+                    exth.mul(tnode, exth.sub(fs[kk][half:], fs[kk][:half])),
+                )
+                prod = exth.mul(e, f)
+                for row in prod:
+                    acc = exth.add(acc, row)
+            msgs[rnd, node] = exth.add(acc, shift)
+        t.append(msgs[rnd].ravel())
+        ch = np.array(t.sample_ext(), np.uint64)
+        chals.append(ch)
+        # honest oracle fold + commitment schedule (mirrors open_batch hook)
+        invw = ntt.domain_pow_inv(log_m)
+        us = np.stack([_fold_host(us[kk], ch, invw) for kk in range(k)])
+        log_m -= 1
+        new_m = 1 << log_m
+        if tail is None:
+            if new_m <= params.stop_size or rnd == n_vars - 1:
+                tail = us.copy()
+                t.append(tail.ravel())
+            else:
+                tree = merkle.MerkleTree.build_host(
+                    us.transpose(0, 2, 1).reshape(k * 4, new_m)
+                )
+                trees.append(tree)
+                dev_levels.append(us.copy())
+                fold_roots.append(tree.root)
+                t.append(tree.root)
+        # fold the sumcheck columns
+        for kk in range(k):
+            half = eqs[kk].shape[0] // 2
+            eqs[kk] = exth.add(
+                eqs[kk][:half],
+                exth.mul(ch[None, :], exth.sub(eqs[kk][half:], eqs[kk][:half])),
+            )
+            fs[kk] = exth.add(
+                fs[kk][:half],
+                exth.mul(ch[None, :], exth.sub(fs[kk][half:], fs[kk][:half])),
+            )
+
+    r_point = np.stack(chals[::-1])  # LSB-first
+    # solve sum(d)=0, sum(eq_k(r) d_k) = Delta/2^n  (shift now = Delta/2^n)
+    eq_r = [exth.eq_eval(points[kk], r_point) for kk in range(k)]
+    d0 = exth.mul(shift, exth.inv(exth.sub(eq_r[0], eq_r[1])))
+    d = [d0, exth.neg(d0)]
+    point_evals = np.stack(
+        [exth.add(fs[kk][0], d[kk]) for kk in range(k)]
+    )
+    t.append(point_evals.ravel())
+
+    # honest query phase
+    idxs = [t.sample_base() % (m // 2) for _ in range(params.n_queries)]
+    n_committed = len(trees)
+    queries = []
+    for i in idxs:
+        bp = np.stack([committed.tree.open_path(i),
+                       committed.tree.open_path(i + m // 2)])
+        u_rows, u_paths = [], []
+        for tt in range(n_committed):
+            mt = m >> (tt + 1)
+            p = i % (mt // 2)
+            u_rows.append(dev_levels[tt][:, [p, p + mt // 2], :].transpose(1, 0, 2))
+            u_paths.append(np.stack([trees[tt].open_path(p),
+                                     trees[tt].open_path(p + mt // 2)]))
+        queries.append(QueryProof(
+            i, committed.codeword[:, [i, i + m // 2]], bp, u_rows, u_paths,
+        ))
+    proof = OpeningProof(msgs, fold_roots, tail, point_evals, queries)
+
+    tv = Transcript(b"pcs")
+    tv.append(committed.root)
+    try:
+        basefold.verify_batch(
+            committed.root, n_vars, n_cols, points, claims, proof, tv, params
+        )
+        assert False, "shifted-message forgery must be rejected"
+    except basefold.PCSError:
+        pass
