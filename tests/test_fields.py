@@ -173,36 +173,66 @@ def test_goldilocks_ext2():
     np.testing.assert_array_equal(p1, np.zeros(n, np.uint64))
 
 
-def test_septic_field():
-    import sympy
-    from sympy.abc import x as _x
-    from ceno_tpu.fields import septic
+def test_septic_field_reference_vectors():
+    """Parameter-set conformance vs scheme/septic_curve.rs test vectors:
+    z * (z^6+z^5+z^4) = 5 + 2z + z^5 + z^6 in F_p[z]/(z^7 - 2z - 5)."""
+    from ceno_tpu.fields import septic as S
 
-    assert sympy.Poly(_x**7 + _x - 11, _x, modulus=bb.P).is_irreducible
-    n = 8
-    a = rng.integers(1, bb.P, size=(7, n), dtype=np.uint32)
-    b = rng.integers(1, bb.P, size=(7, n), dtype=np.uint32)
-    am = jnp.asarray(bb.np_to_monty(a))
-    bm = jnp.asarray(bb.np_to_monty(b))
-    # ring laws: commutativity + distributivity (spot)
-    ab = np.asarray(septic.mul(am, bm))
-    ba = np.asarray(septic.mul(bm, am))
-    np.testing.assert_array_equal(ab, ba)
-    # vs python-int reference reduction
-    def py_mul(u, v):
-        c = [0] * 13
-        for i in range(7):
-            for j in range(7):
-                c[i + j] = (c[i + j] + int(u[i]) * int(v[j])) % bb.P
-        for k in range(12, 6, -1):
-            c[k - 7] = (c[k - 7] + 11 * c[k]) % bb.P
-            c[k - 6] = (c[k - 6] - c[k]) % bb.P
-        return [v % bb.P for v in c[:7]]
-    got = bb.np_from_monty(ab)
-    for col in (0, n - 1):
-        assert [int(v) for v in got[:, col]] == py_mul(a[:, col], b[:, col])
-    # inverse roundtrip (single element: the 217-bit pow is slow-ish)
-    one = bb.np_from_monty(
-        np.asarray(septic.mul(am[:, :1], septic.inv(am[:, :1])))
+    a = np.array([0, 1, 0, 0, 0, 0, 0], np.uint64)
+    b = np.array([0, 0, 0, 0, 1, 1, 1], np.uint64)
+    c = np.array([5, 2, 0, 0, 0, 1, 1], np.uint64)
+    np.testing.assert_array_equal(S.mul(a, b), c)
+    # a^(p^2) == (a^p)^p
+    np.testing.assert_array_equal(S.double_frobenius(c), S.frobenius(S.frobenius(c)))
+    # norm_sub(c) * c must be in the base field
+    nrm = S.mul(S.norm_sub(c), c)
+    assert (nrm[1:] == 0).all()
+    # sqrt roundtrip on random squares (batch)
+    d = rng.integers(1, bb.P, size=(6, 7), dtype=np.uint32).astype(np.uint64)
+    e = S.square(d)
+    root, ok = S.sqrt(e)
+    assert ok.all()
+    for i in range(6):
+        assert np.array_equal(root[i], d[i]) or np.array_equal(root[i], S.neg(d[i]))
+    # inverse roundtrip
+    iv = S.inv(d)
+    np.testing.assert_array_equal(S.mul(d, iv), S.one((6,)))
+
+
+def test_septic_curve_ops():
+    from ceno_tpu.fields import septic as S
+
+    # hash-to-curve style: find points from random x
+    pts = []
+    trial = rng.integers(0, bb.P, size=(64, 7), dtype=np.uint32).astype(np.uint64)
+    y, ok = S.from_x(trial)
+    assert ok.any() and not ok.all()  # ~half are squares
+    xs = trial[ok][:4]
+    ys = y[ok][:4]
+    assert S.is_on_curve(xs, ys).all()
+    p0 = (xs[0], ys[0])
+    p1 = (xs[1], ys[1])
+    p2 = (xs[2], ys[2])
+    # P + (-P) = infinity
+    sx, sy = S.point_add(p0, S.point_neg(*p0))
+    assert S.is_infinity(sx, sy)
+    # associativity (P+Q)+R == P+(Q+R)
+    l = S.point_add(S.point_add(p0, p1), p2)
+    r = S.point_add(p0, S.point_add(p1, p2))
+    np.testing.assert_array_equal(l[0], r[0])
+    np.testing.assert_array_equal(l[1], r[1])
+    # batched add matches scalar add and returns the correct slope
+    x3, y3, lam = S.point_add_batch(
+        xs[0][None], ys[0][None], xs[1][None], ys[1][None]
     )
-    assert [int(v) for v in one[:, 0]] == [1, 0, 0, 0, 0, 0, 0]
+    e = S.point_add(p0, p1)
+    np.testing.assert_array_equal(x3[0], e[0])
+    np.testing.assert_array_equal(y3[0], e[1])
+    np.testing.assert_array_equal(
+        S.mul(lam[0], S.sub(xs[1], xs[0])), S.sub(ys[1], ys[0])
+    )
+    # infinity operands short-circuit
+    inf = np.zeros(7, np.uint64)
+    x3, y3, lam = S.point_add_batch(inf[None], inf[None], xs[0][None], ys[0][None])
+    np.testing.assert_array_equal(x3[0], xs[0])
+    np.testing.assert_array_equal(y3[0], ys[0])
