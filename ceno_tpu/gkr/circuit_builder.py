@@ -72,6 +72,8 @@ class CircuitBuilder:
     structural: list = field(default_factory=list)  # list[StructuralSpec]
     r_records: list = field(default_factory=list)   # raw RLC exprs (unpadded)
     w_records: list = field(default_factory=list)
+    r_fields: list = field(default_factory=list)    # raw field exprs per record
+    w_fields: list = field(default_factory=list)    # (shard planner ground truth)
     lk_records: list = field(default_factory=list)  # chip-side lookups
     lk_table: list = field(default_factory=list)    # (mult_expr, rec_expr)
     zeros: list = field(default_factory=list)       # (name, expr)
@@ -103,9 +105,11 @@ class CircuitBuilder:
 
     def read_record(self, fields: list) -> None:
         self.r_records.append(self.rlc(fields))
+        self.r_fields.append([E._lift(f) for f in fields])
 
     def write_record(self, fields: list) -> None:
         self.w_records.append(self.rlc(fields))
+        self.w_fields.append([E._lift(f) for f in fields])
 
     def lk_record(self, table_tag: int, fields: list) -> None:
         fields = [E._lift(f) for f in fields]
@@ -147,6 +151,12 @@ class CircuitBuilder:
 
     def assert_u12(self, expr) -> None:
         self.lk_record(LK_RANGE12, [expr])
+
+    def lk_and8(self, a, b, out) -> None:
+        self.lk_record(LK_AND8, [a, b, out])
+
+    def lk_xor8(self, a, b, out) -> None:
+        self.lk_record(LK_XOR8, [a, b, out])
 
     # RAM conventions (chip_handler mirror): every access emits paired records
     def ram_read(self, ram_type: int, ident, value_fields: list, prev_ts, ts) -> None:

@@ -255,10 +255,11 @@ def prove_ec_sum(
         base_cols, [sel_add, sel_byp, sel_exp], terms, n, transcript
     )
     transcript.append(out.final_base.ravel())
-    return EccQuarkProof(
+    proof = EccQuarkProof(
         num_instances, n, out.proof.round_msgs, out.final_base,
         np.asarray(final_sum, np.uint64),
     )
+    return proof, out.point
 
 
 def _sel_add_eval(out_rt, rt, num_instances: int, n: int):

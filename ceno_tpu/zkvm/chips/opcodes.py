@@ -56,9 +56,27 @@ class TraceView:
     mem_pts: np.ndarray
     imm: np.ndarray        # int64, sign-extended (unsigned for LUI/AUIPC)
     kind: np.ndarray
+    # syscall bulk memory ops: sys_idx[i] = row into the (n_sys, 50) block
+    # arrays for step i (-1 = no block). Keccak steps are re-kinded to
+    # K["SYS_KECCAK"] so they route to the keccak ecall chip.
+    sys_idx: np.ndarray = None
+    sys_addr: np.ndarray = None   # (n_sys, 50) word addresses
+    sys_prev: np.ndarray = None   # (n_sys, 50) values before
+    sys_val: np.ndarray = None    # (n_sys, 50) values after
+    sys_pts: np.ndarray = None    # (n_sys, 50) prev timestamps
+
+    def __post_init__(self):
+        if self.sys_idx is None:
+            self.sys_idx = np.full(self.n, -1, np.int64)
+        if self.sys_addr is None:
+            z = np.zeros((0, 50), np.int64)
+            self.sys_addr, self.sys_prev = z, z.copy()
+            self.sys_val, self.sys_pts = z.copy(), z.copy()
 
     @staticmethod
     def from_records(records) -> "TraceView":
+        from ...emulator.rv32im import K as _K
+
         n = len(records)
         cols = {f: np.zeros(n, np.int64) for f in (
             "pc", "ts", "rs1_id", "rs1_val", "rs1_pts", "rs2_id", "rs2_val",
@@ -66,6 +84,8 @@ class TraceView:
             "mem_prev", "mem_val", "mem_pts", "imm", "kind",
         )}
         cols["mem_waddr"] -= 1
+        sys_idx = np.full(n, -1, np.int64)
+        sys_rows = []
         for i, s in enumerate(records):
             cols["pc"][i] = s.pc
             cols["ts"][i] = s.cycle
@@ -81,17 +101,38 @@ class TraceView:
             if s.mem:
                 (cols["mem_waddr"][i], cols["mem_prev"][i], cols["mem_val"][i],
                  cols["mem_pts"][i]) = s.mem
-        return TraceView(n=n, **{k: v for k, v in cols.items()})
+            if s.sys_mem is not None:
+                cols["kind"][i] = _K["SYS_KECCAK"]
+                sys_idx[i] = len(sys_rows)
+                sys_rows.append(s.sys_mem)
+        view = TraceView(n=n, sys_idx=sys_idx, **{k: v for k, v in cols.items()})
+        if sys_rows:
+            block = np.array(sys_rows, np.int64)  # (n_sys, 50, 4)
+            view.sys_addr = block[:, :, 0]
+            view.sys_prev = block[:, :, 1]
+            view.sys_val = block[:, :, 2]
+            view.sys_pts = block[:, :, 3]
+        return view
 
     def select(self, idx: np.ndarray) -> "TraceView":
-        return TraceView(
+        sub = TraceView(
             n=len(idx),
             **{
                 f: getattr(self, f)[idx]
                 for f in self.__dataclass_fields__
-                if f != "n"
+                if f not in ("n", "sys_idx", "sys_addr", "sys_prev",
+                             "sys_val", "sys_pts")
             },
         )
+        old = self.sys_idx[idx]
+        have = old >= 0
+        sub.sys_idx = np.where(have, np.cumsum(have) - 1, -1)
+        keep = old[have]
+        sub.sys_addr = self.sys_addr[keep]
+        sub.sys_prev = self.sys_prev[keep]
+        sub.sys_val = self.sys_val[keep]
+        sub.sys_pts = self.sys_pts[keep]
+        return sub
 
 
 @dataclass
@@ -101,10 +142,11 @@ class ChipDef:
     cb: CircuitBuilder
     compiled: CompiledChip
     assign_fn: object  # callable(view: TraceView) -> dict[str, np.ndarray]
+    rows_per_step: int = 1  # witness rows per selected step (keccak core: 24)
 
     def assign(self, view: TraceView) -> np.ndarray:
         cols = self.assign_fn(view)
-        n = view.n
+        n = view.n * self.rows_per_step
         out = np.zeros((len(self.cb.wit_names), n), np.uint64)
         for i, name in enumerate(self.cb.wit_names):
             if name in cols:

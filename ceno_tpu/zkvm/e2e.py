@@ -14,14 +14,18 @@ import numpy as np
 from ..emulator.state import VMState, CYCLE_START
 from .layout import (
     PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
-    PV_EXIT_CODE_LO, PV_EXIT_CODE_HI, N_PUBLIC_VALUES,
+    PV_EXIT_CODE_LO, PV_EXIT_CODE_HI, PV_HEAP_WORDS, PV_STACK_WORDS,
+    N_PUBLIC_VALUES,
 )
 from .tables import ZKVMConfig
 from .scheme import keygen, prove, verify, ProvingKey, ZKVMProof
 from ..pcs.basefold import BasefoldParams
 
 
-def public_values_from_vm(vm: VMState) -> np.ndarray:
+def public_values_from_vm(vm: VMState, cfg: ZKVMConfig | None = None) -> np.ndarray:
+    from .chips.dyn_ram import dyn_region_words
+
+    cfg = cfg or ZKVMConfig(platform=vm.platform)
     pv = np.zeros(N_PUBLIC_VALUES, np.uint64)
     pv[PV_INIT_PC] = vm.entry
     pv[PV_INIT_CYCLE] = CYCLE_START
@@ -29,6 +33,9 @@ def public_values_from_vm(vm: VMState) -> np.ndarray:
     pv[PV_END_CYCLE] = vm.cycle
     pv[PV_EXIT_CODE_LO] = vm.exit_code & 0xFFFF
     pv[PV_EXIT_CODE_HI] = (vm.exit_code >> 16) & 0xFFFF
+    lens = dyn_region_words(vm, cfg)
+    pv[PV_HEAP_WORDS] = lens["heap"]
+    pv[PV_STACK_WORDS] = lens["stack"]
     return pv
 
 
@@ -46,13 +53,14 @@ def run_e2e(
     params: BasefoldParams | None = None,
     max_steps: int = 1 << 24,
     pk: ProvingKey | None = None,
+    data_image: dict | None = None,
 ) -> E2EResult:
     from ..emulator import native
 
     trace = native.run_trace(vm, max_steps)  # native core when available
     assert vm.halted, "guest did not halt"
-    pv = public_values_from_vm(vm)
+    pv = public_values_from_vm(vm, cfg)
     if pk is None:
-        pk = keygen(vm.program, cfg, params)
+        pk = keygen(vm.program, cfg, params, data_image=data_image)
     proof = prove(pk, vm, trace, pv)
     return E2EResult(pk, proof, pv, trace.n)

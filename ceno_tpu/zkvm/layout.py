@@ -2,7 +2,10 @@
 
 Mirror of the reference's PublicValues (scheme.rs:92-104) and the 4-subcycle
 timestamp model (tracer.rs:306). Public values are instance slots shared by
-every chip's constraint system.
+every chip's constraint system. Round 2 adds the continuation slots:
+shard_id plus the two per-shard EC sums of the cross-shard RAM multiset hash
+(affine septic points, 14 base elements each — the reference's
+``shard_rw_sum`` split into import/export trees; (0,..,0) = infinity).
 """
 
 # public value indices
@@ -12,6 +15,11 @@ PV_INIT_CYCLE = 2
 PV_END_CYCLE = 3
 PV_EXIT_CODE_LO = 4
 PV_EXIT_CODE_HI = 5
-N_PUBLIC_VALUES = 6
+PV_SHARD_ID = 6
+PV_RW_SUM_IN = 7     # 14 slots: x[0..7), y[0..7) of the import-tree sum
+PV_RW_SUM_OUT = 21   # 14 slots: export-tree sum
+PV_HEAP_WORDS = 35   # dynamic heap length (dyn_heap init/final instance count)
+PV_STACK_WORDS = 36  # dynamic stack length (words below stack_top)
+N_PUBLIC_VALUES = 37
 
 TS_MAX_BITS = 28  # cur_ts - prev_ts - 1 decomposes into u16 + u12

@@ -1,19 +1,27 @@
 """zkVM proving scheme: keygen, shard prove, verify.
 
 Role mirror of the reference's scheme layer (ZKVMProver::create_proof,
-prover.rs:309 and ZKVMVerifier, verifier.rs:398 — SURVEY.md §3.2/§3.3), for a
-single shard:
+prover.rs:309 and ZKVMVerifier, verifier.rs:398 — SURVEY.md §3.2/§3.3), for
+one shard:
 
   prove:  absorb vk digest + public values -> batch-commit witness trace
           matrices per height class -> sample the RLC challenges alpha, beta
-          -> per chip: tower + main zerocheck (gkr/chip.py) -> Basefold
-          batch-open witness and fixed commitments at the chips' points.
-  verify: replay transcript; per chip verify tower + main sumcheck; check
-          the global bus: prod(reads) == prod(writes) and sum of logup
-          fractions == 0; verify PCS openings.
+          -> per chip: tower + main zerocheck (gkr/chip.py) -> Quark EC-sum
+          proofs for the cross-shard trees -> Basefold batch-open witness and
+          fixed commitments at the chips' points (plus the EC trees' three
+          extended points).
+  verify: replay transcript; per chip verify tower + main sumcheck; verify
+          the EC-sum proofs against the public rw sums; check the global bus:
+          prod(reads) == prod(writes) and sum of logup fractions == 0;
+          verify PCS openings. Shard gating (is_first/is_last) controls which
+          RAM init/final tables must be active; standalone verify() is the
+          single-shard case (first == last, no cross-shard tokens allowed).
 
-Transcript order is the soundness contract and is fixed here (v1).
-"""
+Cross-shard stitching (public-value chaining + EC sum accumulation across
+shards, verifier.rs:398-475 mirror) lives in zkvm/shard.py.
+
+Transcript order is the soundness contract and is fixed here (v3: round 2
+extended public values + EC proofs + dynamic RAM lengths)."""
 
 from __future__ import annotations
 
@@ -26,15 +34,21 @@ from ..fields import babybear as bb
 from ..fields import ext4_host as exth
 from ..hash.transcript import Transcript
 from ..gkr import chip as chiplib
+from ..gkr import eccquark
 from ..gkr.chip import structural_table
 from ..pcs import basefold
 from ..pcs.basefold import BasefoldParams, Claim
 from .chips import build_all_chips
+from .chips.dyn_ram import build_dyn_ram_chips
+from .chips.shard_ram import build_shard_chips
 from .tables import build_tables, ZKVMConfig
 from .witgen import generate_witness, AssignedChip
-from .layout import N_PUBLIC_VALUES
+from .layout import (
+    N_PUBLIC_VALUES, PV_SHARD_ID, PV_RW_SUM_IN, PV_RW_SUM_OUT,
+    PV_HEAP_WORDS, PV_STACK_WORDS,
+)
 
-LABEL = b"ceno-tpu/zkvm/v1"
+LABEL = b"ceno-tpu/zkvm/v3"
 
 
 def _dev(x: np.ndarray):
@@ -52,6 +66,17 @@ class ChipMeta:
     cb: object
     is_table: bool
     table_rows: int | None  # static height for tables, None for opcode chips
+    kind: str = "opcode"    # 'opcode' | 'table' | shard-chip kinds
+    gate: str = "always"    # table shard gating
+
+
+def chip_height(meta: ChipMeta, k: int) -> int:
+    """Padded height of a chip's witness given its instance count."""
+    if meta.is_table:
+        return _pow2_height(meta.table_rows)
+    if meta.kind.startswith("ec_tree"):
+        return 4 if k == 0 else 2 * _pow2_height(k)
+    return _pow2_height(k)
 
 
 @dataclass
@@ -59,11 +84,14 @@ class ProvingKey:
     metas: list
     tables: list
     opcode_chips: list
+    shard_chips: list
+    dyn_chips: list
     cfg: ZKVMConfig
     params: BasefoldParams
     fixed_committed: dict     # height -> basefold.Committed
     fixed_layout: dict        # height -> [(chip_idx, col_offset, n_fixed)]
     program_words: dict
+    data_image: dict | None = None  # word_addr -> u32 static program data
 
     @property
     def vk(self) -> "VerifyingKey":
@@ -98,29 +126,45 @@ class ZKVMProof:
     num_instances: list
     witness_roots: dict        # height -> (8,) canonical
     chip_proofs: list          # chiplib.ChipProof per chip (registry order)
+    ec_proofs: dict            # chip name -> eccquark.EccQuarkProof
     witness_openings: dict     # height -> basefold.OpeningProof
     fixed_openings: dict       # height -> basefold.OpeningProof
 
 
 def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
-           params: BasefoldParams | None = None) -> ProvingKey:
+           params: BasefoldParams | None = None,
+           data_image: dict | None = None) -> ProvingKey:
     cfg = cfg or ZKVMConfig()
     params = params or BasefoldParams()
     opcode_chips = build_all_chips()
-    tables = build_tables(program_words, cfg)
+    shard_chips = build_shard_chips()
+    dyn_chips = build_dyn_ram_chips(cfg)
+    tables = build_tables(program_words, cfg, data_image)
     metas = [ChipMeta(c.name, c.compiled, c.cb, False, None) for c in opcode_chips]
-    metas += [ChipMeta(t.name, t.compiled, t.cb, True, t.n_rows) for t in tables]
+    metas += [
+        ChipMeta(c.name, c.compiled, c.cb, False, None, kind=c.kind)
+        for c in shard_chips
+    ]
+    metas += [
+        ChipMeta(c.name, c.compiled, c.cb, False, None, kind=c.kind, gate=c.gate)
+        for c in dyn_chips
+    ]
+    metas += [
+        ChipMeta(t.name, t.compiled, t.cb, True, t.n_rows, kind="table", gate=t.gate)
+        for t in tables
+    ]
 
     # commit fixed columns grouped by (padded) table height
     by_height: dict = {}
     layout: dict = {}
+    n_pre = len(opcode_chips) + len(shard_chips) + len(dyn_chips)
     for ti, t in enumerate(tables):
         if not t.cb.fixed_names:
             continue
         h = _pow2_height(t.n_rows)
         fx = np.asarray(t.fixed_fn(), np.uint64)
         fx = np.pad(fx, ((0, 0), (0, h - fx.shape[1])))
-        chip_idx = len(opcode_chips) + ti
+        chip_idx = n_pre + ti
         layout.setdefault(h, []).append((chip_idx, sum(
             m.shape[0] for m in by_height.get(h, [])
         ), fx.shape[0]))
@@ -129,7 +173,8 @@ def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
     for h, mats in by_height.items():
         committed[h] = basefold.commit(_dev(np.concatenate(mats, axis=0)), params)
     return ProvingKey(
-        metas, tables, opcode_chips, cfg, params, committed, layout, program_words
+        metas, tables, opcode_chips, shard_chips, dyn_chips, cfg, params,
+        committed, layout, program_words, data_image,
     )
 
 
@@ -137,14 +182,37 @@ def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
 # Prove
 # ---------------------------------------------------------------------------
 
-def prove(pk: ProvingKey, vm, records, public_values: np.ndarray) -> ZKVMProof:
-    assert len(public_values) == N_PUBLIC_VALUES
+# quark-claim geometry: (col_evals offset, chip column base) per extended point
+_EC_POINTS = (
+    ("even", ((7, 0), (14, 7))),          # [0]++rt: x <- evals[7..14), y <- [14..21)
+    ("odd", ((21, 0), (28, 7))),          # [1]++rt
+    ("hi", ((35, 0), (42, 7), (0, 14))),  # rt++[1]: x, y, s
+)
+
+
+def _ec_extended_points(rt: np.ndarray):
+    zero = np.zeros((1, 4), np.uint64)
+    one = exth.one()[None]
+    return {
+        "even": np.concatenate([zero, rt], axis=0),
+        "odd": np.concatenate([one, rt], axis=0),
+        "hi": np.concatenate([rt, one], axis=0),
+    }
+
+
+def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
+          shard_ctx=None, opcode_assigned=None) -> ZKVMProof:
+    if len(public_values) != N_PUBLIC_VALUES:
+        raise ZKVMError("bad public value count")
     t = Transcript(LABEL)
     t.append(pk.vk.digest_elems())
     t.append(np.asarray(public_values, np.uint64))
 
     assigned = generate_witness(
-        records, pk.opcode_chips, pk.tables, vm, public_values, pk.cfg
+        records, pk.opcode_chips, pk.tables, vm, public_values, pk.cfg,
+        shard_ctx=shard_ctx, shard_chips=pk.shard_chips,
+        dyn_chips=pk.dyn_chips,
+        opcode_assigned=opcode_assigned, data_image=pk.data_image,
     )
 
     # group witness columns by height, commit per class
@@ -189,15 +257,34 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray) -> ZKVMProof:
         chip_proofs.append(proof)
         openings.append(opening)
 
+    # Quark EC-sum proofs for the cross-shard trees (registry order)
+    ec_proofs = {}
+    extra_rows: dict = {}  # ci -> [(point, [(col, val)])]
+    pv = np.asarray(public_values, np.uint64)
+    for ci, a in enumerate(assigned):
+        if not a.kind.startswith("ec_tree") or a.num_instances == 0:
+            continue
+        base = PV_RW_SUM_IN if a.kind.endswith("_in") else PV_RW_SUM_OUT
+        fsum = pv[base : base + 14].reshape(2, 7)
+        if not np.array_equal(np.asarray(a.ec_final_sum, np.uint64), fsum):
+            raise ZKVMError(f"{a.name}: tree sum does not match public values")
+        x, y, s = a.wit[0:7], a.wit[7:14], a.wit[14:21]
+        proof, rt = eccquark.prove_ec_sum(x, y, s, a.num_instances, fsum, t)
+        ec_proofs[a.name] = proof
+        pts = _ec_extended_points(np.asarray(rt, np.uint64))
+        rows = []
+        for pname, claims in _EC_POINTS:
+            cols = []
+            for ev_off, col_base in claims:
+                for c in range(7):
+                    cols.append((col_base + c, proof.col_evals[ev_off + c]))
+            rows.append((pts[pname], cols))
+        extra_rows[ci] = rows
+
     # PCS openings: witness classes then fixed classes (ascending height)
     witness_openings = {}
     for h in sorted(wit_committed):
-        entries = wit_layout[h]
-        points = np.stack([openings[ci].point for ci, _, _ in entries])
-        claims = []
-        for k, (ci, off, ncols) in enumerate(entries):
-            for j in range(ncols):
-                claims.append(Claim(k, off + j, openings[ci].wit_evals[j]))
+        points, claims = _class_claims(wit_layout[h], openings, extra_rows)
         witness_openings[h] = basefold.open_batch(
             wit_committed[h], points, claims, t, pk.params
         )
@@ -214,13 +301,32 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray) -> ZKVMProof:
         )
 
     return ZKVMProof(
-        np.asarray(public_values, np.uint64),
+        pv,
         [a.num_instances for a in assigned],
         {h: c.root for h, c in wit_committed.items()},
         chip_proofs,
+        ec_proofs,
         witness_openings,
         fixed_openings,
     )
+
+
+def _class_claims(entries, openings, extra_rows):
+    """Stack the per-class opening points: main chip points first (entry
+    order), then any extra EC rows (chip order, even/odd/hi)."""
+    points = [openings[ci].point for ci, _, _ in entries]
+    claims = []
+    for k, (ci, off, ncols) in enumerate(entries):
+        for j in range(ncols):
+            claims.append(Claim(k, off + j, openings[ci].wit_evals[j]))
+    k_next = len(points)
+    for ci, off, ncols in entries:
+        for point, cols in extra_rows.get(ci, []):
+            points.append(point)
+            for col_j, val in cols:
+                claims.append(Claim(k_next, off + col_j, val))
+            k_next += 1
+    return np.stack(points), claims
 
 
 def _fixed_matrix(pk: ProvingKey, a: AssignedChip, n: int) -> np.ndarray:
@@ -241,19 +347,53 @@ class ZKVMError(Exception):
     pass
 
 
-def verify(vk: VerifyingKey, proof: ZKVMProof) -> bool:
+def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
+           is_last: bool = True, standalone: bool = True) -> bool:
+    """Verify one shard proof. ``standalone`` (the single-shard public API)
+    additionally requires shard_id == 0 and an empty cross-shard bus."""
+    pv = np.asarray(proof.public_values, np.uint64)
+    if len(pv) != N_PUBLIC_VALUES:
+        raise ZKVMError("bad public value count")
+    if standalone:
+        if int(pv[PV_SHARD_ID]) != 0:
+            raise ZKVMError("standalone proof must be shard 0")
+        if pv[PV_RW_SUM_IN:PV_RW_SUM_IN + 28].any():
+            raise ZKVMError("standalone proof must have empty rw sums")
     t = Transcript(LABEL)
     t.append(vk.digest_elems())
-    t.append(np.asarray(proof.public_values, np.uint64))
+    t.append(pv)
 
-    # reconstruct class grouping from num_instances
+    if len(proof.num_instances) != len(vk.metas):
+        raise ZKVMError("chip count mismatch")
+
+    # reconstruct class grouping from num_instances + chip kinds
     wit_layout: dict = {}
     heights = []
     for ci, meta in enumerate(vk.metas):
         k = proof.num_instances[ci]
-        h = _pow2_height(k)
-        if meta.is_table and k != meta.table_rows:
-            raise ZKVMError(f"{meta.name}: table height mismatch")
+        if meta.is_table:
+            active = (
+                (meta.gate == "always")
+                or (meta.gate == "first" and is_first)
+                or (meta.gate == "last" and is_last)
+            )
+            if active and k != meta.table_rows:
+                raise ZKVMError(f"{meta.name}: table must be active in this shard")
+            if not active and k != 0:
+                raise ZKVMError(f"{meta.name}: table must be inactive in this shard")
+        elif meta.kind.startswith("dyn_ram"):
+            active = (meta.gate == "first" and is_first) or (
+                meta.gate == "last" and is_last
+            )
+            slot = PV_HEAP_WORDS if "heap" in meta.name else PV_STACK_WORDS
+            expect = int(pv[slot]) if active else 0
+            if k != expect:
+                raise ZKVMError(
+                    f"{meta.name}: instance count {k} != public RAM length {expect}"
+                )
+        if standalone and meta.kind.startswith(("shard_ram", "ec_tree")) and k != 0:
+            raise ZKVMError(f"{meta.name}: standalone proof cannot carry tokens")
+        h = chip_height(meta, k)
         n_wit = len(meta.cb.wit_names)
         off = sum(e[2] for e in wit_layout.get(h, []))
         wit_layout.setdefault(h, []).append((ci, off, n_wit))
@@ -277,7 +417,7 @@ def verify(vk: VerifyingKey, proof: ZKVMProof) -> bool:
         if cp.num_instances != proof.num_instances[ci] or cp.n_vars != heights[ci].bit_length() - 1:
             raise ZKVMError(f"{meta.name}: instance count mismatch")
         opening, prod_values, logup_fracs = chiplib.verify_chip(
-            meta.compiled, cp, proof.public_values, challenges, t
+            meta.compiled, cp, pv, challenges, t
         )
         openings.append(opening)
         pi = 0
@@ -292,6 +432,36 @@ def verify(vk: VerifyingKey, proof: ZKVMProof) -> bool:
             logup_num = exth.add(exth.mul(logup_num, q), exth.mul(p, logup_den))
             logup_den = exth.mul(logup_den, q)
 
+    # EC-sum quark proofs (registry order, matching the prover)
+    extra_rows: dict = {}
+    for ci, meta in enumerate(vk.metas):
+        if not meta.kind.startswith("ec_tree"):
+            continue
+        k = proof.num_instances[ci]
+        base = PV_RW_SUM_IN if meta.kind.endswith("_in") else PV_RW_SUM_OUT
+        fsum = pv[base : base + 14].reshape(2, 7)
+        if k == 0:
+            if fsum.any():
+                raise ZKVMError(f"{meta.name}: empty tree but nonzero rw sum")
+            if meta.name in proof.ec_proofs:
+                raise ZKVMError(f"{meta.name}: unexpected ec proof")
+            continue
+        ecp = proof.ec_proofs.get(meta.name)
+        if ecp is None:
+            raise ZKVMError(f"{meta.name}: missing ec proof")
+        if ecp.num_instances != k or ecp.n_vars != heights[ci].bit_length() - 2:
+            raise ZKVMError(f"{meta.name}: ec proof geometry mismatch")
+        rt, evals = eccquark.verify_ec_sum(ecp, fsum, t)
+        pts = _ec_extended_points(rt)
+        rows = []
+        for pname, claims in _EC_POINTS:
+            cols = []
+            for ev_off, col_base in claims:
+                for c in range(7):
+                    cols.append((col_base + c, evals[ev_off + c]))
+            rows.append((pts[pname], cols))
+        extra_rows[ci] = rows
+
     if not np.array_equal(prod_r, prod_w):
         raise ZKVMError("global read/write product mismatch")
     if logup_num.any():
@@ -301,13 +471,8 @@ def verify(vk: VerifyingKey, proof: ZKVMProof) -> bool:
 
     for h in sorted(wit_layout):
         entries = wit_layout[h]
-        points = np.stack([openings[ci].point for ci, _, _ in entries])
-        claims = []
-        n_cols = 0
-        for k, (ci, off, ncols) in enumerate(entries):
-            for j in range(ncols):
-                claims.append(Claim(k, off + j, openings[ci].wit_evals[j]))
-            n_cols += ncols
+        points, claims = _class_claims(entries, openings, extra_rows)
+        n_cols = sum(e[2] for e in entries)
         basefold.verify_batch(
             proof.witness_roots[h], h.bit_length() - 1, n_cols, points,
             claims, proof.witness_openings[h], t, vk.params,

@@ -43,16 +43,13 @@ def _whitelist():
     from ..emulator.state import Platform
     from .scheme import ZKVMProof
 
+    from ..gkr.eccquark import EccQuarkProof
+    from .shard import ShardedProof
+
     classes = [
         ZKVMProof, ChipProof, TowerProof, OpeningProof, QueryProof,
-        BasefoldParams, ZKVMConfig, Platform,
+        BasefoldParams, ZKVMConfig, Platform, EccQuarkProof, ShardedProof,
     ]
-    try:  # optional (round-2+): sharded proof containers
-        from .shard import ShardedProof  # noqa: PLC0415
-
-        classes.append(ShardedProof)
-    except ImportError:
-        pass
     return {c.__name__: c for c in classes}
 
 

@@ -50,9 +50,9 @@ class ZKVMConfig:
     """Table sizing knobs (shrunk in CPU tests, full-size in production)."""
 
     shl_x_bits: int = 16        # SHL table covers x < 2^shl_x_bits, s < 16
-    mem_words_log: int = 10     # static heap window size (words)
+    mem_words_log: int = 10     # unused since the dynamic heap (kept for API compat)
     hints_words_log: int = 8    # private-input (hints) window size (words)
-    stack_words_log: int = 8    # stack window size (words, below stack_top)
+    stack_words_log: int = 8    # unused since the dynamic stack (kept for API compat)
     platform: Platform = field(default_factory=Platform)
 
 
@@ -64,6 +64,9 @@ class TableDef:
     n_rows: int                 # power of two; num_instances for the chip
     fixed_fn: object            # () -> (n_fixed, n_rows) canonical
     assign_fn: object           # (ctx) -> dict[str, np.ndarray]
+    gate: str = "always"        # 'always' | 'first' | 'last' (shard gating:
+    # RAM init tables only run in the first shard, final tables in the last
+    # — the reference's with/without one-time-init pk split, keygen.rs:19-49)
 
     def assign(self, ctx) -> np.ndarray:
         cols = self.assign_fn(ctx)
@@ -247,16 +250,14 @@ def _program_table(program_words: dict) -> TableDef:
     return TableDef("program", cb, compile_chip(cb), n, fixed, assign)
 
 
-def _register_table(cfg: ZKVMConfig) -> TableDef:
-    cb = CircuitBuilder("reg_table")
+def _register_init_table(cfg: ZKVMConfig) -> TableDef:
+    cb = CircuitBuilder("reg_init")
     rid = cb.create_structural(StructuralSpec("incremental", start=0, step=1))
     init_lo = cb.create_fixed("init_lo")
     init_hi = cb.create_fixed("init_hi")
-    f_lo = cb.create_witin("final_lo")
-    f_hi = cb.create_witin("final_hi")
-    f_ts = cb.create_witin("final_ts")
+    unused = cb.create_witin("unused")
+    cb.require_zero("unused_zero", unused)
     cb.write_record([E.Const(RAM_REGISTER), rid, init_lo, init_hi, E.Const(0)])
-    cb.read_record([E.Const(RAM_REGISTER), rid, f_lo, f_hi, f_ts])
 
     def fixed():
         out = np.zeros((2, 32), np.uint64)
@@ -264,6 +265,22 @@ def _register_table(cfg: ZKVMConfig) -> TableDef:
         out[0, 2] = sp & MASK16
         out[1, 2] = sp >> 16
         return out
+
+    def assign(ctx: WitgenCtx):
+        return {"unused": np.zeros(32, np.uint64)}
+
+    return TableDef(
+        "reg_init", cb, compile_chip(cb), 32, fixed, assign, gate="first"
+    )
+
+
+def _register_final_table(cfg: ZKVMConfig) -> TableDef:
+    cb = CircuitBuilder("reg_final")
+    rid = cb.create_structural(StructuralSpec("incremental", start=0, step=1))
+    f_lo = cb.create_witin("final_lo")
+    f_hi = cb.create_witin("final_hi")
+    f_ts = cb.create_witin("final_ts")
+    cb.read_record([E.Const(RAM_REGISTER), rid, f_lo, f_hi, f_ts])
 
     def assign(ctx: WitgenCtx):
         vm = ctx.vm
@@ -275,13 +292,16 @@ def _register_table(cfg: ZKVMConfig) -> TableDef:
             "final_ts": ts,
         }
 
-    return TableDef("reg_table", cb, compile_chip(cb), 32, fixed, assign)
+    return TableDef(
+        "reg_final", cb, compile_chip(cb), 32,
+        lambda: np.zeros((0, 32), np.uint64), assign, gate="last",
+    )
 
 
-def _memory_window_table(
+def _memory_init_table(
     name: str, base_word: int, words_log: int, private_init: bool
 ) -> TableDef:
-    """RAM init/final table over a static word-address window.
+    """RAM init half over a static word-address window (first shard only).
 
     ``private_init``: init values are witness columns (the hints region — the
     guest's private input, ceno_rt MMIO mirror) instead of fixed columns."""
@@ -294,14 +314,48 @@ def _memory_window_table(
     else:
         init_lo = cb.create_fixed("init_lo")
         init_hi = cb.create_fixed("init_hi")
-    f_lo = cb.create_witin("final_lo")
-    f_hi = cb.create_witin("final_hi")
-    f_ts = cb.create_witin("final_ts")
+        unused = cb.create_witin("unused")
+        cb.require_zero("unused_zero", unused)
     cb.write_record([E.Const(RAM_MEMORY), addr, init_lo, init_hi, E.Const(0)])
-    cb.read_record([E.Const(RAM_MEMORY), addr, f_lo, f_hi, f_ts])
 
     def fixed():
         return np.zeros((0 if private_init else 2, n), np.uint64)
+
+    def assign(ctx: WitgenCtx):
+        vm = ctx.vm
+        cols = {}
+        if private_init:
+            cols["init_lo"] = np.zeros(n, np.uint64)
+            cols["init_hi"] = np.zeros(n, np.uint64)
+            for waddr, v0 in vm.mem_init.items():
+                i = waddr - base_word
+                if 0 <= i < n:
+                    cols["init_lo"][i] = v0 & MASK16
+                    cols["init_hi"][i] = v0 >> 16
+        else:
+            cols["unused"] = np.zeros(n, np.uint64)
+            for waddr in vm.mem_init:
+                i = waddr - base_word
+                assert not 0 <= i < n, (
+                    f"{name}: pre-initialized data at {waddr << 2:#x} needs a "
+                    "private-init window (program-image fixed data: TODO)"
+                )
+        return cols
+
+    return TableDef(
+        name, cb, compile_chip(cb), n, fixed, assign, gate="first"
+    )
+
+
+def _memory_final_table(name: str, base_word: int, words_log: int) -> TableDef:
+    """RAM final half over a static window (last shard only)."""
+    n = 1 << words_log
+    cb = CircuitBuilder(name)
+    addr = cb.create_structural(StructuralSpec("incremental", start=base_word, step=1))
+    f_lo = cb.create_witin("final_lo")
+    f_hi = cb.create_witin("final_hi")
+    f_ts = cb.create_witin("final_ts")
+    cb.read_record([E.Const(RAM_MEMORY), addr, f_lo, f_hi, f_ts])
 
     def assign(ctx: WitgenCtx):
         vm = ctx.vm
@@ -310,19 +364,9 @@ def _memory_window_table(
             "final_hi": np.zeros(n, np.uint64),
             "final_ts": np.zeros(n, np.uint64),
         }
-        if private_init:
-            cols["init_lo"] = np.zeros(n, np.uint64)
-            cols["init_hi"] = np.zeros(n, np.uint64)
         for waddr, v0 in vm.mem_init.items():
             i = waddr - base_word
             if 0 <= i < n:
-                assert private_init, (
-                    f"{name}: pre-initialized data at {waddr:#x} needs a "
-                    "private-init window (program-image fixed data: TODO)"
-                )
-                cols["init_lo"][i] = v0 & MASK16
-                cols["init_hi"][i] = v0 >> 16
-                # final defaults to init for untouched cells
                 cols["final_lo"][i] = v0 & MASK16
                 cols["final_hi"][i] = v0 >> 16
         for waddr in vm.touched:
@@ -335,7 +379,68 @@ def _memory_window_table(
             cols["final_ts"][i] = vm.mem_ts.get(waddr, 0)
         return cols
 
-    return TableDef(name, cb, compile_chip(cb), n, fixed, assign)
+    return TableDef(
+        name, cb, compile_chip(cb), n,
+        lambda: np.zeros((0, n), np.uint64), assign, gate="last",
+    )
+
+
+def _prog_data_tables(data_image: dict) -> list:
+    """Program-image RAM tables: the guest ELF's static data (.rodata/.data/
+    .bss, elf.rs:206-240 "static program data") as FIXED init columns.
+
+    Unlike the window tables the addresses are arbitrary (one row per image
+    word, possibly with gaps between segments), so ``addr`` is itself a fixed
+    column committed at keygen — the image is part of the program identity."""
+    addrs = np.array(sorted(data_image), np.uint64)
+    n = 1 << max(1, int(addrs.shape[0] - 1).bit_length())
+    pad_addrs = np.zeros(n, np.uint64)
+    pad_addrs[: addrs.shape[0]] = addrs
+    if addrs.shape[0] < n:
+        # pad rows continue past the last address (distinct addrs keep the
+        # init-write multiset collision-free)
+        pad_addrs[addrs.shape[0]:] = addrs[-1] + np.arange(
+            1, n - addrs.shape[0] + 1, dtype=np.uint64
+        )
+    vals = np.array([data_image[int(a)] for a in addrs], np.uint64)
+    pad_vals = np.zeros(n, np.uint64)
+    pad_vals[: addrs.shape[0]] = vals
+
+    cb_i = CircuitBuilder("prog_data_init")
+    addr_i = cb_i.create_fixed("addr")
+    init_lo = cb_i.create_fixed("init_lo")
+    init_hi = cb_i.create_fixed("init_hi")
+    unused = cb_i.create_witin("unused")
+    cb_i.require_zero("unused_zero", unused)
+    cb_i.write_record([E.Const(RAM_MEMORY), addr_i, init_lo, init_hi, E.Const(0)])
+
+    def fixed_i():
+        return np.stack([pad_addrs, pad_vals & MASK16, pad_vals >> np.uint64(16)])
+
+    cb_f = CircuitBuilder("prog_data_final")
+    addr_f = cb_f.create_fixed("addr")
+    f_lo = cb_f.create_witin("final_lo")
+    f_hi = cb_f.create_witin("final_hi")
+    f_ts = cb_f.create_witin("final_ts")
+    cb_f.read_record([E.Const(RAM_MEMORY), addr_f, f_lo, f_hi, f_ts])
+
+    def assign_f(ctx: WitgenCtx):
+        vm = ctx.vm
+        lo, hi, ts = pad_vals & MASK16, pad_vals >> np.uint64(16), np.zeros(n, np.uint64)
+        lo, hi = lo.copy(), hi.copy()
+        for i, a in enumerate(pad_addrs.tolist()):
+            if a in vm.touched:
+                v = vm.mem.get(a, 0)
+                lo[i], hi[i] = v & MASK16, v >> 16
+                ts[i] = vm.mem_ts.get(a, 0)
+        return {"final_lo": lo, "final_hi": hi, "final_ts": ts}
+
+    return [
+        TableDef("prog_data_init", cb_i, compile_chip(cb_i), n, fixed_i,
+                 lambda ctx: {"unused": np.zeros(n, np.uint64)}, gate="first"),
+        TableDef("prog_data_final", cb_f, compile_chip(cb_f), n,
+                 lambda: np.stack([pad_addrs]), assign_f, gate="last"),
+    ]
 
 
 def _global_chip() -> TableDef:
@@ -355,8 +460,26 @@ def _global_chip() -> TableDef:
     return TableDef("global", cb, compile_chip(cb), 1, lambda: np.zeros((0, 1), np.uint64), assign)
 
 
-def build_tables(program_words: dict, cfg: ZKVMConfig) -> list[TableDef]:
-    return [
+def build_tables(
+    program_words: dict, cfg: ZKVMConfig, data_image: dict | None = None
+) -> list[TableDef]:
+    if data_image:
+        from .chips.dyn_ram import dyn_regions
+
+        windows = memory_windows(cfg) + [
+            (lo, hi - lo) for lo, hi, _ in dyn_regions(cfg)
+        ]
+        count = len(data_image)
+        n_pad = (1 << max(1, (count - 1).bit_length())) - count
+        check = set(data_image) | {
+            max(data_image) + i for i in range(1, n_pad + 1)
+        }
+        for waddr in check:
+            if any(b <= waddr < b + sz for b, sz in windows):
+                raise ValueError(
+                    f"program image word {waddr << 2:#x} overlaps a RAM window"
+                )
+    return (_prog_data_tables(data_image) if data_image else []) + [
         _program_table(program_words),
         _range_table("range16", LK_RANGE16, 16),
         _range_table("range12", LK_RANGE12, 12),
@@ -369,27 +492,21 @@ def build_tables(program_words: dict, cfg: ZKVMConfig) -> list[TableDef]:
         _byte_pair_table("and8", LK_AND8, lambda a, b: a & b),
         _byte_pair_table("or8", LK_OR8, lambda a, b: a | b),
         _byte_pair_table("xor8", LK_XOR8, lambda a, b: a ^ b),
-        _register_table(cfg),
-        _memory_window_table(
-            "mem_table", cfg.platform.heap_start >> 2, cfg.mem_words_log, False
+        _register_init_table(cfg),
+        _register_final_table(cfg),
+        _memory_init_table(
+            "hints_init", cfg.platform.hints_start >> 2, cfg.hints_words_log, True
         ),
-        _memory_window_table(
-            "hints_table", cfg.platform.hints_start >> 2, cfg.hints_words_log, True
-        ),
-        _memory_window_table(
-            "stack_table",
-            (cfg.platform.stack_top >> 2) - (1 << cfg.stack_words_log),
-            cfg.stack_words_log,
-            False,
+        _memory_final_table(
+            "hints_final", cfg.platform.hints_start >> 2, cfg.hints_words_log
         ),
         _global_chip(),
     ]
 
 
 def memory_windows(cfg: ZKVMConfig) -> list:
-    """[(base_word, n_words)] covered by the RAM tables (witgen checks this)."""
+    """[(base_word, n_words)] covered by STATIC RAM tables (hints only —
+    heap and stack are dynamic, chips/dyn_ram.py)."""
     return [
-        (cfg.platform.heap_start >> 2, 1 << cfg.mem_words_log),
         (cfg.platform.hints_start >> 2, 1 << cfg.hints_words_log),
-        ((cfg.platform.stack_top >> 2) - (1 << cfg.stack_words_log), 1 << cfg.stack_words_log),
     ]

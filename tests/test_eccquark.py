@@ -44,7 +44,7 @@ def test_quark_prove_verify_roundtrip():
     xs, ys = _random_points(n_pts)
     x, y, s, final = Q.build_tree_witness(xs, ys, n_rows)
     tp = Transcript(b"ecc-test")
-    proof = Q.prove_ec_sum(x, y, s, n_pts, final, tp)
+    proof, _rt = Q.prove_ec_sum(x, y, s, n_pts, final, tp)
     tv = Transcript(b"ecc-test")
     rt, evals = Q.verify_ec_sum(proof, final, tv)
 
@@ -75,14 +75,14 @@ def test_quark_rejects_wrong_sum():
     xs, ys = _random_points(n_pts)
     x, y, s, final = Q.build_tree_witness(xs, ys, n_rows)
     tp = Transcript(b"ecc-test")
-    proof = Q.prove_ec_sum(x, y, s, n_pts, final, tp)
+    proof, _rt = Q.prove_ec_sum(x, y, s, n_pts, final, tp)
     bad = final.copy()
     bad[0, 0] = (int(bad[0, 0]) + 1) % bb.P
     with pytest.raises(Q.EccError):
         Q.verify_ec_sum(proof, bad, Transcript(b"ecc-test"))
     # claimed sum consistent but proof exported a different point
     tp2 = Transcript(b"ecc-test")
-    proof2 = Q.prove_ec_sum(x, y, s, n_pts, bad, tp2)
+    proof2, _ = Q.prove_ec_sum(x, y, s, n_pts, bad, tp2)
     from ceno_tpu.sumcheck.verifier import SumcheckError
 
     with pytest.raises((Q.EccError, SumcheckError)):
@@ -95,6 +95,6 @@ def test_quark_rejects_tampered_tree():
     x, y, s, final = Q.build_tree_witness(xs, ys, n_rows)
     x[0, n_rows - 2] = (int(x[0, n_rows - 2]) + 1) % bb.P  # corrupt a tree node
     tp = Transcript(b"ecc-test")
-    proof = Q.prove_ec_sum(x, y, s, n_pts, final, tp)
+    proof, _rt = Q.prove_ec_sum(x, y, s, n_pts, final, tp)
     with pytest.raises((Q.EccError, Exception)):
         Q.verify_ec_sum(proof, final, Transcript(b"ecc-test"))

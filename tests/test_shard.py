@@ -1,0 +1,127 @@
+"""Sharding/continuations: planner, per-shard mock satisfaction, e2e stitching."""
+
+import numpy as np
+import pytest
+
+from ceno_tpu.emulator import programs
+from ceno_tpu.fields import babybear as bb
+from ceno_tpu.fields import septic as S
+from ceno_tpu.gkr.mock import MockProver
+from ceno_tpu.pcs.basefold import BasefoldParams
+from ceno_tpu.zkvm import shard as shard_mod
+from ceno_tpu.zkvm.chips.opcodes import TraceView
+from ceno_tpu.zkvm.layout import (
+    PV_RW_SUM_IN, PV_RW_SUM_OUT, PV_END_PC, PV_SHARD_ID,
+)
+from ceno_tpu.zkvm.scheme import keygen, verify, ZKVMError
+from ceno_tpu.zkvm.shard import plan_shards, prove_shards, verify_shards, ShardChainError
+from ceno_tpu.zkvm.tables import ZKVMConfig
+from ceno_tpu.zkvm.witgen import generate_witness
+
+CFG = ZKVMConfig(shl_x_bits=6, mem_words_log=7)
+PARAMS = BasefoldParams(blowup_log=1, n_queries=4, stop_size=32)
+
+
+def _plan(n_iters, max_steps_per_shard):
+    vm = programs.fibonacci_vm(n_iters)
+    records = vm.run()
+    view = TraceView.from_records(records)
+    pk = keygen(vm.program, CFG, PARAMS)
+    ctxs = plan_shards(view, vm, pk, CFG, max_steps_per_shard)
+    return vm, view, pk, ctxs
+
+
+def test_plan_tokens_cancel():
+    vm, view, pk, ctxs = _plan(12, 40)
+    assert len(ctxs) >= 3
+    # every exported token appears exactly once as an import
+    exp, imp = [], []
+    for ctx in ctxs:
+        for tok, sink in ((ctx.out_tokens, exp), (ctx.in_tokens, imp)):
+            for i in range(tok.n):
+                sink.append((int(tok.is_reg[i]), int(tok.addr[i]),
+                             int(tok.value[i]), int(tok.shard[i]), int(tok.clk[i])))
+    assert sorted(exp) == sorted(imp)
+    assert len(exp) > 0
+    # EC sums over all shards cancel to infinity
+    acc = (np.zeros(7, np.uint64), np.zeros(7, np.uint64))
+    for ctx in ctxs:
+        for base in (PV_RW_SUM_IN, PV_RW_SUM_OUT):
+            acc = S.point_add(acc, (ctx.pv[base:base + 7], ctx.pv[base + 7:base + 14]))
+    assert S.is_infinity(*acc)
+
+
+def test_sharded_witness_mock_satisfied():
+    vm, view, pk, ctxs = _plan(12, 40)
+    for ctx in ctxs:
+        assigned = generate_witness(
+            None, pk.opcode_chips, pk.tables, vm, ctx.pv, CFG,
+            shard_ctx=ctx, shard_chips=pk.shard_chips,
+            opcode_assigned=ctx.opcode_assigned,
+        )
+        chips = []
+        for a in assigned:
+            n = a.n_rows
+            fixed = np.zeros((0, n), np.uint64)
+            for t in pk.tables:
+                if t.name == a.name and t.cb.fixed_names:
+                    fx = np.asarray(t.fixed_fn(), np.uint64)
+                    fixed = np.pad(fx, ((0, 0), (0, n - fx.shape[1])))
+            chips.append((a.compiled, a.cb, a.wit, fixed, ctx.pv, a.num_instances))
+        errs = MockProver.assert_satisfied(chips, raise_on_error=False)
+        assert errs == [], (ctx.shard_id, errs[:5])
+
+
+@pytest.fixture(scope="module")
+def sharded_result():
+    vm = programs.fibonacci_vm(12)
+    records = vm.run()
+    pk = keygen(vm.program, CFG, PARAMS)
+    sproof = prove_shards(pk, vm, records, 40)
+    return pk, sproof
+
+
+def test_sharded_prove_verify(sharded_result):
+    pk, sproof = sharded_result
+    assert sproof.n_shards >= 3
+    assert verify_shards(pk.vk, sproof)
+
+
+def test_sharded_rejects_broken_pv_chain(sharded_result):
+    import copy
+
+    pk, sproof = sharded_result
+    bad = copy.deepcopy(sproof)
+    bad.proofs[1].public_values = bad.proofs[1].public_values.copy()
+    bad.proofs[1].public_values[PV_END_PC] += 4
+    with pytest.raises(Exception):
+        verify_shards(pk.vk, bad)
+
+
+def test_sharded_rejects_tampered_ec_sum(sharded_result):
+    import copy
+
+    pk, sproof = sharded_result
+    bad = copy.deepcopy(sproof)
+    pv = bad.proofs[0].public_values.copy()
+    pv[PV_RW_SUM_OUT] = (int(pv[PV_RW_SUM_OUT]) + 1) % bb.P
+    bad.proofs[0].public_values = pv
+    with pytest.raises(Exception):
+        verify_shards(pk.vk, bad)
+
+
+def test_sharded_rejects_dropped_shard(sharded_result):
+    import copy
+
+    pk, sproof = sharded_result
+    bad = copy.deepcopy(sproof)
+    bad.proofs = bad.proofs[:-1]
+    bad.n_shards -= 1
+    with pytest.raises(Exception):
+        verify_shards(pk.vk, bad)
+
+
+def test_standalone_rejects_interior_shard(sharded_result):
+    pk, sproof = sharded_result
+    with pytest.raises(ZKVMError):
+        verify(pk.vk, sproof.proofs[1])

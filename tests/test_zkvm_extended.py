@@ -150,10 +150,15 @@ def test_torture_proves_and_verifies():
 def test_torture_constraints_satisfied():
     vm, records = _run_torture()
     cfg = ZKVMConfig(shl_x_bits=16, mem_words_log=7)
+    from ceno_tpu.zkvm.chips.dyn_ram import build_dyn_ram_chips
+
     chips = build_all_chips()
     tables = build_tables(vm.program, cfg)
-    pv = public_values_from_vm(vm)
-    assigned = generate_witness(records, chips, tables, vm, pv, cfg)
+    pv = public_values_from_vm(vm, cfg)
+    assigned = generate_witness(
+        records, chips, tables, vm, pv, cfg,
+        dyn_chips=build_dyn_ram_chips(cfg),
+    )
     mock = []
     for a in assigned:
         n = a.n_rows

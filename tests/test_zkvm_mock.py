@@ -17,10 +17,15 @@ from ceno_tpu.zkvm.e2e import public_values_from_vm
 
 
 def _mock_chips(vm, records, cfg):
+    from ceno_tpu.zkvm.chips.dyn_ram import build_dyn_ram_chips
+
     opcode_chips = build_opcode_chips()
     tables = build_tables(vm.program, cfg)
-    pv = public_values_from_vm(vm)
-    assigned = generate_witness(records, opcode_chips, tables, vm, pv, cfg)
+    pv = public_values_from_vm(vm, cfg)
+    assigned = generate_witness(
+        records, opcode_chips, tables, vm, pv, cfg,
+        dyn_chips=build_dyn_ram_chips(cfg),
+    )
     chips = []
     for a in assigned:
         n = a.n_rows
