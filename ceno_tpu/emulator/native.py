@@ -103,6 +103,18 @@ def native_available() -> bool:
         return False
 
 
+class UnsupportedSyscall(RuntimeError):
+    """The native core hit a syscall it does not implement; callers fall
+    back to the python emulator (vm is left unmutated)."""
+
+
+def _check_run(got: int) -> None:
+    if got == -2:
+        raise UnsupportedSyscall("native core: unsupported ecall")
+    if got < 0:
+        raise RuntimeError(f"native emulator error {got}")
+
+
 def run_native(vm: VMState, max_steps: int = 1 << 24):
     """Execute ``vm`` with the native core; mutates vm to the final state and
     returns StepRecords equivalent to vm.run()."""
@@ -126,8 +138,7 @@ def run_native(vm: VMState, max_steps: int = 1 << 24):
         while remaining > 0:
             buf = (_StepRow * min(chunk, remaining))()
             got = lib.emu_run(h, buf, len(buf))
-            if got < 0:
-                raise RuntimeError(f"native emulator error {got}")
+            _check_run(got)
             all_rows.append((buf, got))
             n += got
             remaining -= len(buf)
@@ -216,7 +227,10 @@ def run_vm(vm: VMState, max_steps: int = 1 << 24):
     when the toolchain exists)."""
     backend = os.environ.get("CENO_EMULATOR_BACKEND", "auto")
     if backend in ("native", "auto") and native_available():
-        return run_native(vm, max_steps)
+        try:
+            return run_native(vm, max_steps)
+        except UnsupportedSyscall:
+            pass  # vm not yet mutated (sync happens after the run loop)
     return vm.run(max_steps)
 
 
@@ -229,6 +243,15 @@ def run_trace(vm: VMState, max_steps: int = 1 << 24):
     backend = os.environ.get("CENO_EMULATOR_BACKEND", "auto")
     if not (backend in ("native", "auto") and native_available()):
         return TraceView.from_records(vm.run(max_steps))
+    try:
+        return _run_trace_native(vm, max_steps)
+    except UnsupportedSyscall:
+        return TraceView.from_records(vm.run(max_steps))
+
+
+def _run_trace_native(vm: VMState, max_steps: int):
+    from ..zkvm.chips.opcodes import TraceView
+
     # run natively, then build columns straight from the row buffers
     lib = _lib()
     h = lib.emu_new(vm.entry, vm.regs[2])
@@ -247,8 +270,7 @@ def run_trace(vm: VMState, max_steps: int = 1 << 24):
         while remaining > 0:
             buf = (_StepRow * min(chunk, remaining))()
             got = lib.emu_run(h, buf, len(buf))
-            if got < 0:
-                raise RuntimeError(f"native emulator error {got}")
+            _check_run(got)
             if got:
                 arrays.append(
                     np.frombuffer(memoryview(buf), dtype=_ROW_DTYPE, count=got).copy()

@@ -20,6 +20,9 @@ KINDS = [
     "SB", "SH", "SW",
     "BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU",
     "LUI", "AUIPC", "JAL", "ECALL", "INVALID",
+    # pseudo-kinds: never produced by decode(); the trace re-kinds ECALL
+    # steps by syscall code so each syscall routes to its own chip
+    "SYS_KECCAK",
 ]
 K = {name: i for i, name in enumerate(KINDS)}
 

@@ -53,6 +53,8 @@ class StepRecord:
     rs2: tuple | None = None
     rd: tuple | None = None     # (reg, prev_value, new_value, prev_ts)
     mem: tuple | None = None    # (addr, prev_value, new_value, prev_ts) word-addressed
+    # syscall bulk memory ops (keccak: 50 words), same tuple shape as mem
+    sys_mem: list | None = None
 
 
 @dataclass
@@ -264,6 +266,27 @@ class VMState:
                 self.exit_code = self.regs[10]
                 rec.rs2 = read_reg(10, SUBCYCLE_RS2)
                 next_pc = self.pc  # halt loops
+            elif code == Platform.ECALL_KECCAK:
+                # keccak_permute.rs mirror: a0 = state_ptr -> permute 50
+                # words in place. All 50 addresses are distinct, so one
+                # shared mem subcycle keeps offline checking monotone.
+                from .keccak import keccakf, words_to_lanes, lanes_to_words
+
+                rec.rs2 = read_reg(10, SUBCYCLE_RS2)  # state_ptr
+                ptr = rec.rs2[1]
+                if ptr & 3:
+                    raise RuntimeError("keccak state_ptr must be word-aligned")
+                base_w = ptr >> 2
+                words = [self.mem.get(base_w + i, 0) for i in range(50)]
+                out = lanes_to_words(keccakf(words_to_lanes(words)))
+                rec.sys_mem = []
+                for i in range(50):
+                    waddr = base_w + i
+                    prev_ts = self.mem_ts.get(waddr, 0)
+                    self.mem[waddr] = out[i]
+                    self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                    self.touched.add(waddr)
+                    rec.sys_mem.append((waddr, words[i], out[i], prev_ts))
             else:
                 raise RuntimeError(f"unsupported ecall code {code:#x}")
         else:

@@ -3,10 +3,22 @@
 from . import common, opcodes, opcodes2, opcodes3  # noqa: F401
 
 
+_CHIP_CACHE = None
+
+
 def build_all_chips():
-    """Full opcode registry in canonical proving order (Rv32imConfig mirror)."""
-    return (
-        opcodes.build_opcode_chips()
-        + opcodes2.build_extended_chips()
-        + opcodes3.build_mul_chips()
-    )
+    """Full opcode registry in canonical proving order (Rv32imConfig mirror:
+    rv32im opcodes, then the precompile ecall/core pairs). The registry is
+    program-independent, so it is built once per process — expression
+    expansion for the keccak core chip alone costs seconds."""
+    global _CHIP_CACHE
+    if _CHIP_CACHE is None:
+        from .keccak import build_keccak_core_chip, build_keccak_ecall_chip
+
+        _CHIP_CACHE = (
+            opcodes.build_opcode_chips()
+            + opcodes2.build_extended_chips()
+            + opcodes3.build_mul_chips()
+            + [build_keccak_ecall_chip(), build_keccak_core_chip()]
+        )
+    return _CHIP_CACHE

@@ -443,6 +443,39 @@ def _prog_data_tables(data_image: dict) -> list:
     ]
 
 
+def _keccak_rc_table() -> TableDef:
+    """Round-constant bytes keyed by round index (also range-binds the
+    keccak core chip's round column to [0, 24))."""
+    from ..emulator.keccak import RC, ROUNDS
+    from .chips.keccak import LK_KECCAK_RC
+
+    n = 32
+    cb = CircuitBuilder("keccak_rc")
+    mult = cb.create_witin("mult")
+    rnd = cb.create_fixed("round")
+    rcs = [cb.create_fixed(f"rc{k}") for k in range(8)]
+    cb.lk_table_record(LK_KECCAK_RC, mult, [rnd] + rcs)
+
+    def fixed():
+        rows = np.zeros((9, n), np.uint64)
+        rows[0] = np.arange(n, dtype=np.uint64)
+        for r in range(ROUNDS):
+            for k in range(8):
+                rows[1 + k, r] = (RC[r] >> (8 * k)) & 0xFF
+        # pad rows keep distinct round keys (24..31) with rc = 0: a zero
+        # multiplicity row can never satisfy a real round's lookup
+        return rows
+
+    def assign(ctx: WitgenCtx):
+        counts = ctx.lk_counts.get(LK_KECCAK_RC, {})
+        m = np.zeros(n, np.uint64)
+        for key, c in counts.items():
+            m[int(key[0])] = c
+        return {"mult": m}
+
+    return TableDef("keccak_rc", cb, compile_chip(cb), n, fixed, assign)
+
+
 def _global_chip() -> TableDef:
     cb = CircuitBuilder("global")
     unused = cb.create_witin("unused")
@@ -489,6 +522,7 @@ def build_tables(
         _shl_table(cfg),
         _srl_table(cfg),
         _pow2_table(),
+        _keccak_rc_table(),
         _byte_pair_table("and8", LK_AND8, lambda a, b: a & b),
         _byte_pair_table("or8", LK_OR8, lambda a, b: a | b),
         _byte_pair_table("xor8", LK_XOR8, lambda a, b: a ^ b),
