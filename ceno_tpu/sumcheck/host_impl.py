@@ -50,42 +50,52 @@ def build_eq_host(point: np.ndarray, scale=None) -> np.ndarray:
 
 
 def round_evals_host(base, ext, bidx, eidx, scalars, deg: int) -> np.ndarray:
-    """(deg+1, 4) canonical univariate evals over the half-cube."""
+    """(deg+1, 4) canonical univariate evals over the half-cube.
+
+    Vectorized over TERMS (the keccak core chip batches ~6k monomials into
+    one zerocheck; a python per-term loop was the whole prove wall). Terms
+    are processed in chunks sized to a bounded working set."""
     half = base.shape[1] // 2
     blo, bdiff = base[:, :half], (base[:, half:] + _P - base[:, :half]) % _P
     elo = ext[:, :half]
     ediff = (ext[:, half:] + _P - elo) % _P
     out = np.zeros((deg + 1, 4), np.uint64)
-    for i in range(scalars.shape[0]):
-        sc = scalars[i]
-        if not sc.any():
-            continue
-        bcur = blo[bidx[i]] if bidx.shape[1] else None  # (DB, half)
-        bd = bdiff[bidx[i]] if bidx.shape[1] else None
-        ecur = elo[eidx[i]] if eidx.shape[1] else None  # (DE, half, 4)
-        ed = ediff[eidx[i]] if eidx.shape[1] else None
+    nz = np.nonzero(scalars.any(axis=1))[0]
+    if nz.size == 0:
+        return out
+    db, de = bidx.shape[1], eidx.shape[1]
+    per_t = max(1, (db + 4 * de) * max(half, 1))
+    chunk = max(1, (1 << 23) // per_t)
+    for s0 in range(0, nz.size, chunk):
+        idx = nz[s0 : s0 + chunk]
+        sc = scalars[idx]                     # (t, 4)
+        bcur = blo[bidx[idx]] if db else None  # (t, db, half)
+        bd = bdiff[bidx[idx]] if db else None
+        ecur = elo[eidx[idx]] if de else None  # (t, de, half, 4)
+        ed = ediff[eidx[idx]] if de else None
         for t in range(deg + 1):
             if t > 0:
-                if bcur is not None:
+                if db:
                     bcur = (bcur + bd) % _P
-                if ecur is not None:
+                if de:
                     ecur = (ecur + ed) % _P
-            if bcur is not None:
-                pb = bcur[0]
-                for k in range(1, bcur.shape[0]):
-                    pb = pb * bcur[k] % _P
-            else:
-                pb = None
-            if ecur is not None:
-                pe = ecur[0]
-                for k in range(1, ecur.shape[0]):
-                    pe = exth.mul(pe, ecur[k])
+            pb = None
+            if db:
+                pb = bcur[:, 0]
+                for k in range(1, db):
+                    pb = pb * bcur[:, k] % _P  # (t, half)
+            if de:
+                pe = ecur[:, 0]
+                for k in range(1, de):
+                    pe = exth.mul(pe, ecur[:, k])
                 if pb is not None:
-                    pe = pe * pb[:, None] % _P
-                s = pe.sum(axis=0) % _P  # half * p < 2^64 safe
+                    pe = pe * pb[:, :, None] % _P
+                s = pe.sum(axis=1) % _P        # (t, 4); half * p < 2^64 safe
             else:
-                s = exth.from_base(int(pb.sum() % _P))
-            out[t] = exth.add(out[t], exth.mul(sc, s))
+                s = np.zeros((idx.size, 4), np.uint64)
+                s[:, 0] = pb.sum(axis=1) % _P
+            v = exth.mul(sc, s)                # (t, 4); values < p
+            out[t] = exth.add(out[t], v.sum(axis=0) % _P)
     return out
 
 
