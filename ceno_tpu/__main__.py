@@ -46,12 +46,23 @@ def _profiles(name: str):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ceno_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
+    ps = sub.add_parser("stats", help="per-circuit constraint/witness report")
+    ps.add_argument("guest", nargs="?", default=None,
+                    help="optional guest .s: adds instance counts per chip")
+    ps.add_argument("--hints", default="")
+    ps.add_argument("--active", action="store_true",
+                    help="only show chips with instances")
     for name in ("run", "prove", "verify"):
         p = sub.add_parser(name)
         p.add_argument("guest")
         if name == "verify":
             p.add_argument("proof")
             p.add_argument("--profile", choices=("test", "prod"), default="prod")
+            p.add_argument(
+                "--public-io", default=None,
+                help="comma-separated u32 words the guest must have "
+                "committed (PUB_IO_COMMIT digest check)",
+            )
         else:
             p.add_argument("--hints", default="")
             p.add_argument("--max-steps", type=int, default=1 << 24)
@@ -66,6 +77,42 @@ def main(argv=None):
         import os
 
         os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 21))
+
+    if args.cmd == "stats":
+        import os
+
+        os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 21))
+        from .utils.stats import report, format_table
+        from .zkvm.chips import build_all_chips
+        from .zkvm.chips.dyn_ram import build_dyn_ram_chips
+        from .zkvm.chips.shard_ram import build_shard_chips
+        from .zkvm.tables import build_tables, ZKVMConfig
+
+        cfg = ZKVMConfig(shl_x_bits=6)
+        opcode_chips = build_all_chips()
+        shard_chips = build_shard_chips()
+        dyn_chips = build_dyn_ram_chips(cfg)
+        assigned = None
+        if args.guest:
+            vm = _build_vm(args.guest, args.hints)
+            records = vm.run()
+            tables = build_tables(vm.program, cfg)
+            from .zkvm.e2e import public_values_from_vm
+            from .zkvm.witgen import generate_witness
+
+            pv = public_values_from_vm(vm, cfg)
+            assigned = generate_witness(
+                records, opcode_chips, tables, vm, pv, cfg,
+                shard_chips=shard_chips, dyn_chips=dyn_chips,
+            )
+            print(f"guest: {len(records)} steps, exit {vm.exit_code}")
+        else:
+            tables = build_tables({0x02000000: 0x73}, cfg)
+        print(format_table(
+            report(opcode_chips, shard_chips, dyn_chips, tables, assigned),
+            only_active=args.active,
+        ))
+        return 0
 
     if args.cmd == "run":
         vm = _build_vm(args.guest, args.hints)
@@ -118,6 +165,20 @@ def main(argv=None):
     t0 = time.time()
     ok = verify(pk.vk, proof)
     pv = proof.public_values
+    if ok and args.public_io is not None:
+        from .emulator.keccak import public_io_digest_words
+        from .zkvm.layout import PV_PUBIO_DIGEST
+
+        words = [int(x, 0) for x in args.public_io.split(",")] if args.public_io else []
+        expect = public_io_digest_words(words)
+        got = [
+            int(pv[PV_PUBIO_DIGEST + 2 * i])
+            | (int(pv[PV_PUBIO_DIGEST + 2 * i + 1]) << 16)
+            for i in range(8)
+        ]
+        if got != expect:
+            print("verify: FAIL — public-io digest mismatch")
+            return 1
     exit_code = int(pv[4]) | (int(pv[5]) << 16)
     print(
         f"verify: {'OK' if ok else 'FAIL'} ({time.time() - t0:.1f}s) "

@@ -73,6 +73,40 @@ def keccakf(lanes: list) -> list:
     return a
 
 
+def keccak256(data: bytes) -> bytes:
+    """Legacy Keccak-256 (pad 0x01, rate 136) — the PUB_IO_COMMIT digest
+    (ceno_zkvm e2e.rs public_io_words_to_digest_words uses tiny-keccak
+    Keccak::v256)."""
+    state = [0] * 25
+    rate = 136
+    msg = bytearray(data)
+    msg.append(0x01)
+    while len(msg) % rate:
+        msg.append(0)
+    msg[-1] |= 0x80
+    for off in range(0, len(msg), rate):
+        for i in range(rate // 8):
+            state[i] ^= int.from_bytes(msg[off + 8 * i : off + 8 * i + 8], "little")
+        state = keccakf(state)
+    return b"".join(s.to_bytes(8, "little") for s in state[:4])
+
+
+# Keccak-256("") as 8 little-endian u32 words (e2e.rs KECCAK_EMPTY_WORDS)
+KECCAK_EMPTY_WORDS = [
+    0x0146D2C5, 0x3C23F786, 0xB27D7E92, 0xC003C7DC,
+    0x53B600E5, 0x3B2782CA, 0x04D8FA7B, 0x70A4855D,
+]
+
+
+def public_io_digest_words(words: list) -> list:
+    """Digest of the guest's public-output u32 words, as 8 u32 words."""
+    if not words:
+        return list(KECCAK_EMPTY_WORDS)
+    data = b"".join(int(w).to_bytes(4, "little") for w in words)
+    d = keccak256(data)
+    return [int.from_bytes(d[4 * i : 4 * i + 4], "little") for i in range(8)]
+
+
 def words_to_lanes(words: list) -> list:
     """50 u32 words -> 25 u64 lanes (keccak_permute.rs layout)."""
     return [

@@ -73,6 +73,8 @@ class VMState:
     # init snapshots for table circuits
     mem_init: dict = field(default_factory=dict)
     touched: set = field(default_factory=set)
+    # PUB_IO_COMMIT digest words (None until the guest commits)
+    pubio_digest: list | None = None
 
     def __post_init__(self):
         self.pc = self.entry
@@ -266,6 +268,26 @@ class VMState:
                 self.exit_code = self.regs[10]
                 rec.rs2 = read_reg(10, SUBCYCLE_RS2)
                 next_pc = self.pc  # halt loops
+            elif code == Platform.ECALL_COMMIT:
+                # pubio_commit.rs mirror: a0 points at the 8-word digest the
+                # guest computed over its public outputs; the syscall READS
+                # them (values preserved) and pins them for the PV binding.
+                rec.rs2 = read_reg(10, SUBCYCLE_RS2)
+                ptr = rec.rs2[1]
+                if ptr & 3:
+                    raise RuntimeError("commit digest_ptr must be word-aligned")
+                base_w = ptr >> 2
+                rec.sys_mem = []
+                digest = []
+                for i in range(8):
+                    waddr = base_w + i
+                    v = self.mem.get(waddr, 0)
+                    prev_ts = self.mem_ts.get(waddr, 0)
+                    self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                    self.touched.add(waddr)
+                    rec.sys_mem.append((waddr, v, v, prev_ts))
+                    digest.append(v)
+                self.pubio_digest = digest
             elif code == Platform.ECALL_KECCAK:
                 # keccak_permute.rs mirror: a0 = state_ptr -> permute 50
                 # words in place. All 50 addresses are distinct, so one

@@ -14,11 +14,13 @@ def build_all_chips():
     global _CHIP_CACHE
     if _CHIP_CACHE is None:
         from .keccak import build_keccak_core_chip, build_keccak_ecall_chip
+        from .pubio import build_pubio_commit_chip
 
         _CHIP_CACHE = (
             opcodes.build_opcode_chips()
             + opcodes2.build_extended_chips()
             + opcodes3.build_mul_chips()
-            + [build_keccak_ecall_chip(), build_keccak_core_chip()]
+            + [build_keccak_ecall_chip(), build_keccak_core_chip(),
+               build_pubio_commit_chip()]
         )
     return _CHIP_CACHE

@@ -21,6 +21,7 @@ from ...gkr.circuit_builder import CircuitBuilder, LK_SHL, LK_RANGE4
 from ...gkr.chip import compile_chip, CompiledChip
 from ...mle import expression as E
 from ...emulator.rv32im import K
+from ...emulator.state import Platform
 from ..layout import (
     PV_END_PC, PV_END_CYCLE, PV_EXIT_CODE_LO, PV_EXIT_CODE_HI,
 )
@@ -102,9 +103,15 @@ class TraceView:
                 (cols["mem_waddr"][i], cols["mem_prev"][i], cols["mem_val"][i],
                  cols["mem_pts"][i]) = s.mem
             if s.sys_mem is not None:
-                cols["kind"][i] = _K["SYS_KECCAK"]
+                code = s.rs1[1] if s.rs1 else 0
+                cols["kind"][i] = (
+                    _K["SYS_COMMIT"] if code == Platform.ECALL_COMMIT
+                    else _K["SYS_KECCAK"]
+                )
                 sys_idx[i] = len(sys_rows)
-                sys_rows.append(s.sys_mem)
+                # block arrays are fixed-width 50; shorter syscalls pad
+                pad = [(0, 0, 0, 0)] * (50 - len(s.sys_mem))
+                sys_rows.append(list(s.sys_mem) + pad)
         view = TraceView(n=n, sys_idx=sys_idx, **{k: v for k, v in cols.items()})
         if sys_rows:
             block = np.array(sys_rows, np.int64)  # (n_sys, 50, 4)

@@ -15,6 +15,7 @@ from ..emulator.state import VMState, CYCLE_START
 from .layout import (
     PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
     PV_EXIT_CODE_LO, PV_EXIT_CODE_HI, PV_HEAP_WORDS, PV_STACK_WORDS,
+    PV_PUBIO_DIGEST,
     N_PUBLIC_VALUES,
 )
 from .tables import ZKVMConfig
@@ -36,6 +37,14 @@ def public_values_from_vm(vm: VMState, cfg: ZKVMConfig | None = None) -> np.ndar
     lens = dyn_region_words(vm, cfg)
     pv[PV_HEAP_WORDS] = lens["heap"]
     pv[PV_STACK_WORDS] = lens["stack"]
+    digest = vm.pubio_digest
+    if digest is None:
+        from ..emulator.keccak import KECCAK_EMPTY_WORDS
+
+        digest = KECCAK_EMPTY_WORDS
+    for i, w in enumerate(digest):
+        pv[PV_PUBIO_DIGEST + 2 * i] = w & 0xFFFF
+        pv[PV_PUBIO_DIGEST + 2 * i + 1] = (w >> 16) & 0xFFFF
     return pv
 
 

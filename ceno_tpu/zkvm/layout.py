@@ -20,6 +20,8 @@ PV_RW_SUM_IN = 7     # 14 slots: x[0..7), y[0..7) of the import-tree sum
 PV_RW_SUM_OUT = 21   # 14 slots: export-tree sum
 PV_HEAP_WORDS = 35   # dynamic heap length (dyn_heap init/final instance count)
 PV_STACK_WORDS = 36  # dynamic stack length (words below stack_top)
-N_PUBLIC_VALUES = 37
+PV_PUBIO_DIGEST = 37  # 16 slots: u16 limbs (lo, hi per word) of the 8-word
+# PUB_IO_COMMIT Keccak-256 digest (e2e.rs:71-85, precompiles/pubio_commit.rs)
+N_PUBLIC_VALUES = 53
 
 TS_MAX_BITS = 28  # cur_ts - prev_ts - 1 decomposes into u16 + u12

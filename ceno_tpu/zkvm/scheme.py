@@ -20,8 +20,8 @@ one shard:
 Cross-shard stitching (public-value chaining + EC sum accumulation across
 shards, verifier.rs:398-475 mirror) lives in zkvm/shard.py.
 
-Transcript order is the soundness contract and is fixed here (v3: round 2
-extended public values + EC proofs + dynamic RAM lengths)."""
+Transcript order is the soundness contract and is fixed here (v4: round 2
+extended public values + EC proofs + dynamic RAM lengths + pubio digest)."""
 
 from __future__ import annotations
 
@@ -48,7 +48,7 @@ from .layout import (
     PV_HEAP_WORDS, PV_STACK_WORDS,
 )
 
-LABEL = b"ceno-tpu/zkvm/v3"
+LABEL = b"ceno-tpu/zkvm/v4"
 
 
 def _dev(x: np.ndarray):
