@@ -39,7 +39,7 @@ from .chips.shard_ram import Tokens, tokens_to_points
 from .layout import (
     N_PUBLIC_VALUES, PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
     PV_EXIT_CODE_LO, PV_EXIT_CODE_HI, PV_SHARD_ID, PV_RW_SUM_IN, PV_RW_SUM_OUT,
-    PV_HEAP_WORDS, PV_STACK_WORDS,
+    PV_HEAP_WORDS, PV_STACK_WORDS, PV_PUBIO_DIGEST,
 )
 from .tables import ZKVMConfig, memory_windows
 from .witgen import assign_opcode_chips, _MOCK_CHAL
@@ -111,19 +111,65 @@ def _ram_events(assigned, instances):
     return {k: np.concatenate(v) for k, v in cols.items()}
 
 
+def plan_boundaries(
+    view: TraceView,
+    opcode_chips: list,
+    max_cells_per_shard: int | None = None,
+    max_steps_per_shard: int | None = None,
+) -> list[int]:
+    """Preflight shard planner: step boundaries from a per-step witness-cell
+    cost model (ShardPlanBuilder mirror, tracer.rs:490-700 — each step costs
+    its chip's witness-cell count, so e.g. a keccak ecall weighs ~85x an
+    add). Splits when the running cell total would exceed
+    ``max_cells_per_shard`` or the step count ``max_steps_per_shard``."""
+    n = view.n
+    cost_by_kind = {}
+    for chip in opcode_chips:
+        for k in chip.kinds:
+            cost_by_kind[k] = cost_by_kind.get(k, 0) + (
+                len(chip.cb.wit_names) * chip.rows_per_step
+            )
+    costs = np.array(
+        [cost_by_kind.get(int(k), 32) for k in view.kind], np.int64
+    )
+    bounds = [0]
+    cur_cells = 0
+    cur_steps = 0
+    for i in range(n):
+        over_cells = (
+            max_cells_per_shard is not None
+            and cur_cells + costs[i] > max_cells_per_shard
+            and cur_steps > 0
+        )
+        over_steps = (
+            max_steps_per_shard is not None and cur_steps >= max_steps_per_shard
+        )
+        if over_cells or over_steps:
+            bounds.append(i)
+            cur_cells = 0
+            cur_steps = 0
+        cur_cells += costs[i]
+        cur_steps += 1
+    bounds.append(n)
+    return bounds
+
+
 def plan_shards(
     view: TraceView,
     vm,
     pk,
     cfg: ZKVMConfig,
-    max_steps_per_shard: int,
+    max_steps_per_shard: int | None = None,
+    max_cells_per_shard: int | None = None,
 ) -> list[ShardContext]:
     """Split the trace and compute each shard's token lists + public values."""
     from ..emulator.state import CYCLE_START
 
     n = view.n
-    n_shards = max(1, -(-n // max_steps_per_shard))
-    bounds = [min(i * max_steps_per_shard, n) for i in range(n_shards + 1)]
+    bounds = plan_boundaries(
+        view, pk.opcode_chips, max_cells_per_shard, max_steps_per_shard
+    )
+    n_shards = max(1, len(bounds) - 1)
     last = n_shards - 1
 
     # stage-1 witness per shard (reused later by generate_witness)
@@ -250,6 +296,14 @@ def plan_shards(
         pv[PV_SHARD_ID] = s
         pv[PV_HEAP_WORDS] = dyn_lens["heap"]
         pv[PV_STACK_WORDS] = dyn_lens["stack"]
+        digest = vm.pubio_digest
+        if digest is None:
+            from ..emulator.keccak import KECCAK_EMPTY_WORDS
+
+            digest = KECCAK_EMPTY_WORDS
+        for i, wd in enumerate(digest):
+            pv[PV_PUBIO_DIGEST + 2 * i] = wd & 0xFFFF
+            pv[PV_PUBIO_DIGEST + 2 * i + 1] = (wd >> 16) & 0xFFFF
         for base_pv, tok in ((PV_RW_SUM_IN, t_in), (PV_RW_SUM_OUT, t_out)):
             if tok.n:
                 _, xs, ys = tokens_to_points(tok)
@@ -264,9 +318,11 @@ def plan_shards(
     return out
 
 
-def prove_shards(pk, vm, records, max_steps_per_shard: int) -> ShardedProof:
+def prove_shards(pk, vm, records, max_steps_per_shard: int | None = None,
+                 max_cells_per_shard: int | None = None) -> ShardedProof:
     view = records if isinstance(records, TraceView) else TraceView.from_records(records)
-    ctxs = plan_shards(view, vm, pk, pk.cfg, max_steps_per_shard)
+    ctxs = plan_shards(view, vm, pk, pk.cfg, max_steps_per_shard,
+                       max_cells_per_shard)
     proofs = []
     for ctx in ctxs:
         proof = scheme.prove(
@@ -301,6 +357,11 @@ def verify_shards(vk, sproof: ShardedProof, expect_halt: bool = True) -> bool:
                 pv[PV_STACK_WORDS] != prev_pv[PV_STACK_WORDS]
             ):
                 raise ShardChainError(f"shard {s}: dynamic RAM length mismatch")
+            if not np.array_equal(
+                pv[PV_PUBIO_DIGEST:PV_PUBIO_DIGEST + 16],
+                prev_pv[PV_PUBIO_DIGEST:PV_PUBIO_DIGEST + 16],
+            ):
+                raise ShardChainError(f"shard {s}: pubio digest mismatch")
         scheme.verify(
             vk, proof, is_first=(s == 0), is_last=(s == n_shards - 1),
             standalone=False,

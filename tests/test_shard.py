@@ -125,3 +125,62 @@ def test_standalone_rejects_interior_shard(sharded_result):
     pk, sproof = sharded_result
     with pytest.raises(ZKVMError):
         verify(pk.vk, sproof.proofs[1])
+
+
+def test_cost_model_planner_weighs_keccak():
+    from ceno_tpu.emulator.rv32im import assemble
+    from ceno_tpu.emulator.state import VMState, make_program, Platform
+    from ceno_tpu.zkvm.shard import plan_boundaries
+    from ceno_tpu.zkvm.chips import build_all_chips
+
+    ROM, HEAP = Platform.rom_start, Platform.heap_start
+    src = f"""
+        li t1, {HEAP}
+        li t0, {Platform.ECALL_KECCAK}
+        mv a0, t1
+        ecall
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    vm = VMState(make_program(assemble(src, ROM), ROM), ROM)
+    records = vm.run()
+    view = TraceView.from_records(records)
+    chips = build_all_chips()
+    # a cell budget well below the keccak step cost forces it into its own
+    # shard; cheap steps batch together
+    bounds = plan_boundaries(view, chips, max_cells_per_shard=2000)
+    sizes = [b - a for a, b in zip(bounds[:-1], bounds[1:])]
+    assert len(sizes) >= 2
+    kk = [i for i in range(view.n) if view.sys_idx[i] >= 0][0]
+    shard_of_kk = next(
+        s for s, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])) if a <= kk < b
+    )
+    assert bounds[shard_of_kk + 1] - bounds[shard_of_kk] == 1, (
+        "keccak step should be alone in its shard under a small cell budget"
+    )
+
+
+def test_sharded_keccak_guest_proves():
+    from ceno_tpu.emulator.rv32im import assemble
+    from ceno_tpu.emulator.state import VMState, make_program, Platform
+
+    ROM, HEAP = Platform.rom_start, Platform.heap_start
+    src = f"""
+        li t1, {HEAP}
+        li a1, 9
+        sw a1, 0(t1)
+        li t0, {Platform.ECALL_KECCAK}
+        mv a0, t1
+        ecall
+        lw a2, 0(t1)
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    vm = VMState(make_program(assemble(src, ROM), ROM), ROM)
+    records = vm.run()
+    pk = keygen(vm.program, CFG, PARAMS)
+    sproof = prove_shards(pk, vm, records, max_cells_per_shard=20000)
+    assert sproof.n_shards >= 2
+    assert verify_shards(pk.vk, sproof)
