@@ -274,6 +274,51 @@ def interleave_geometry(compiled: CompiledChip):
     return rho, r_r, r_w, r_l
 
 
+def build_records_from_sel(compiled: CompiledChip, wit, fixed, structural,
+                           inst, chals, sel):
+    """Record inference core given an explicit selector column (Monty 0/1).
+
+    Shared by the single-device builder (sel = [iota < k]) and the mesh
+    shard_map wrapper (sel from the device's global row indices)."""
+    rho, r_r, r_w, r_l = interleave_geometry(compiled)
+    n = wit.shape[1] if compiled.n_wit else structural.shape[1]
+    ctx = (wit, fixed, structural, inst, chals)
+    memo = {}
+
+    def padded(expr):
+        k, v = _eval_expr(expr, ctx, memo)
+        v = _as_ext_n(k, v, n)
+        one = jnp.full((), bb.MONTY_ONE, bb.DTYPE)
+        rec_m1 = v.at[0].set(bb.sub(v[0], one))
+        out = ext4.mul_base(rec_m1, sel)
+        return out.at[0].set(bb.add(out[0], one))
+
+    def stack(recs, pad_one: bool):
+        pad_count = (1 << rho) - len(recs)
+        if pad_count:
+            padv = ext4.ones((pad_count * n,)) if pad_one else ext4.zeros((pad_count * n,))
+            recs = recs + [padv]
+        return jnp.concatenate(recs, axis=-1)
+
+    mr = stack([padded(e) for e in compiled.r_exprs], True) if r_r else None
+    mw = stack([padded(e) for e in compiled.w_exprs], True) if r_w else None
+    if r_l:
+        ps, qs = [], []
+        for e in compiled.lk_exprs:
+            ps.append(_promote(sel))
+            qs.append(padded(e))
+        for mult, rec in compiled.lk_table:
+            k, v = _eval_expr(E.Neg(mult), ctx, memo)
+            v = _as_ext_n(k, v, n)
+            ps.append(ext4.mul_base(v, sel))
+            qs.append(padded(rec))
+        p = stack(ps, False)
+        q = stack(qs, True)
+    else:
+        p = q = None
+    return mr, mw, p, q
+
+
 def make_record_builder(compiled: CompiledChip):
     """Jitted fn: (wit, fixed, structural, inst, chals, num_instances) ->
     (Mr, Mw, P, Q) interleaved record MLEs of size 2^rho * N each (or None
@@ -284,41 +329,9 @@ def make_record_builder(compiled: CompiledChip):
         n = wit.shape[1] if compiled.n_wit else structural.shape[1]
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         sel = jnp.where(iota < num_instances, jnp.uint32(bb.MONTY_ONE), jnp.uint32(0))
-        ctx = (wit, fixed, structural, inst, chals)
-        memo = {}
-
-        def padded(expr):
-            k, v = _eval_expr(expr, ctx, memo)
-            v = _as_ext_n(k, v, n)
-            one = jnp.full((), bb.MONTY_ONE, bb.DTYPE)
-            rec_m1 = v.at[0].set(bb.sub(v[0], one))
-            out = ext4.mul_base(rec_m1, sel)
-            return out.at[0].set(bb.add(out[0], one))
-
-        def stack(recs, pad_one: bool):
-            pad_count = (1 << rho) - len(recs)
-            if pad_count:
-                padv = ext4.ones((pad_count * n,)) if pad_one else ext4.zeros((pad_count * n,))
-                recs = recs + [padv]
-            return jnp.concatenate(recs, axis=-1)
-
-        mr = stack([padded(e) for e in compiled.r_exprs], True) if r_r else None
-        mw = stack([padded(e) for e in compiled.w_exprs], True) if r_w else None
-        if r_l:
-            ps, qs = [], []
-            for e in compiled.lk_exprs:
-                ps.append(_promote(sel))
-                qs.append(padded(e))
-            for mult, rec in compiled.lk_table:
-                k, v = _eval_expr(E.Neg(mult), ctx, memo)
-                v = _as_ext_n(k, v, n)
-                ps.append(ext4.mul_base(v, sel))
-                qs.append(padded(rec))
-            p = stack(ps, False)
-            q = stack(qs, True)
-        else:
-            p = q = None
-        return mr, mw, p, q
+        return build_records_from_sel(
+            compiled, wit, fixed, structural, inst, chals, sel
+        )
 
     return jax.jit(build)
 

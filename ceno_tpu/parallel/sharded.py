@@ -37,12 +37,14 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
-def shard_base_cols(mesh: Mesh, cols):
-    """Stack base cols (list of (N,)) -> sharded (C+1, N/D, D) bank (+ ones)."""
+def shard_base_cols(mesh: Mesh, cols, n: int | None = None):
+    """Stack base cols (list of (N,)) -> sharded (C+1, N/D, D) bank (+ ones).
+    With no cols, ``n`` supplies the row count for the sentinel-ones bank."""
     d = mesh.shape[AXIS]
-    n = cols[0].shape[-1]
+    n = cols[0].shape[-1] if cols else n
     bank = jnp.concatenate(
-        [jnp.stack(cols), bb.ones((1, n))], axis=0
+        [jnp.stack(cols), bb.ones((1, n))] if cols else [bb.ones((1, n))],
+        axis=0,
     ).reshape(len(cols) + 1, n // d, d)
     return jax.device_put(bank, NamedSharding(mesh, P(None, None, AXIS)))
 
@@ -152,7 +154,10 @@ def prove_sharded(
     scalars = jnp.asarray(bb.np_to_monty(scal_np.T))
     midx = jnp.asarray(T.merge_indices(bidx_np, eidx_np, n_base, n_ext))
 
-    base_bank = shard_base_cols(mesh, list(base_cols))
+    base_bank = shard_base_cols(
+        mesh, list(base_cols),
+        n=(ext_cols[0].shape[-1] if ext_cols else None),
+    )
     ext_bank = shard_ext_cols(mesh, list(ext_cols)) if ext_cols else jax.device_put(
         jnp.zeros((4, 1, base_bank.shape[1], d), bb.DTYPE)
         .at[0, 0].set(jnp.full((base_bank.shape[1], d), bb.MONTY_ONE, bb.DTYPE)),
