@@ -1,11 +1,22 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: fibonacci e2e prove wall time (the reference's own benchmark
-workload, ceno_zkvm/benches/fibonacci.rs — SURVEY.md §6) on the real TPU:
-emulate on host, witgen on host, commit/tower/zerocheck/PCS-open with the
-device kernels. vs_baseline = all-host (numpy) prover wall time / TPU wall
-time at the same size — the in-environment stand-in for the reference CPU
-prover (no Rust toolchain in this image).
+Headline: fibonacci e2e prove wall time at the reference's north-star size —
+2^20 guest steps (BASELINE.md; ceno_zkvm/benches/fibonacci.rs uses max_steps
+2^20..2^22) on the real TPU: emulate + witgen on host, commit / towers /
+zerocheck / PCS-open with the device kernels (fused sumcheck transcripts).
+
+vs_baseline = all-host (numpy) prover wall time / TPU wall time at the same
+size. This is the in-environment stand-in for the reference CPU prover — the
+image has no Rust toolchain (BASELINE.md documents the unmeasured ≥5×-CPU
+target); the numpy prover runs the identical protocol with vectorized host
+kernels, which is a *stronger* denominator than naive scalar CPU code.
+
+field_mults_per_s is a documented static estimate of base-field modular
+multiplications in the timed prove (see _estimate_field_mults): NTT
+butterflies + Merkle Poseidon2 permutations (~900 mults each) for the
+commits, record-inference RLCs, tower tree + level sumchecks (ext4 mul = 16
+base mults), and the main zerocheck term evaluations. It is a cost-model
+magnitude, not a counter.
 
 Timing notes (axon backend): jax.block_until_ready does not wait through the
 tunnel; prove() forces fetches at every transcript interaction so its wall
@@ -23,7 +34,41 @@ import time
 # the per-chip XLA programs can even be dispatched (see sumcheck/host_impl.py)
 os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 13))
 
-N_ITERS = 20000  # fibonacci loop iterations (~120k guest instructions)
+N_ITERS = 174760  # fibonacci loop iterations -> 1048571 steps ~= 2^20
+
+
+def log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _estimate_field_mults(pk, assigned) -> float:
+    """Static base-field-mult model of one prove() call (see module doc)."""
+    from ceno_tpu.gkr.chip import interleave_geometry
+
+    blowup = 1 << pk.params.blowup_log
+    total = 0.0
+    # witness + fixed commits: NTT per column + Merkle tree per class
+    heights = {}
+    for a in assigned:
+        heights.setdefault(a.n_rows, 0)
+        heights[a.n_rows] += a.wit.shape[0]
+    import math
+
+    for h, cols in heights.items():
+        bn = blowup * h
+        total += cols * (bn / 2) * math.log2(max(bn, 2))      # NTT butterflies
+        total += (bn * max(1, cols / 8) + bn) * 900           # Poseidon2 merkle
+    for a in assigned:
+        rho, r_r, r_w, r_l = interleave_geometry(a.compiled)
+        n = a.n_rows
+        n_rec = r_r + r_w + 2 * r_l
+        total += n_rec * n * 8                                # record RLCs
+        total += (1 << rho) * n * 3 * 16                      # tower trees (ext4)
+        total += (1 << rho) * n * 3 * 16                      # level sumchecks
+        terms = sum(len(s.terms) for s in a.compiled.slots)
+        total += terms * 4 * n * 2                            # main zerocheck
+        total += n * blowup * math.log2(max(n, 2)) * 4        # PCS open folds
+    return total
 
 
 def _tpu_prove():
@@ -33,22 +78,19 @@ def _tpu_prove():
     from ceno_tpu.zkvm.tables import ZKVMConfig
     from ceno_tpu.zkvm.scheme import keygen, prove, verify
     from ceno_tpu.zkvm.e2e import public_values_from_vm
-
-    import sys
-
-    def log(msg):
-        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
-
+    from ceno_tpu.zkvm.witgen import generate_witness
     from ceno_tpu.emulator import native
 
     cfg = ZKVMConfig(shl_x_bits=10)
     params = BasefoldParams()  # production: blowup 8, 34 queries
     vm = programs.fibonacci_vm(N_ITERS)
+    t0 = time.time()
     trace = native.run_trace(vm)
-    log(f"emulated {trace.n} steps")
-    pv = public_values_from_vm(vm)
+    log(f"emulated {trace.n} steps in {time.time() - t0:.1f}s")
+    pv = public_values_from_vm(vm, cfg)
+    t0 = time.time()
     pk = keygen(vm.program, cfg, params)
-    log("keygen done")
+    log(f"keygen done in {time.time() - t0:.1f}s")
     import ceno_tpu.gkr.chip as chiplib
 
     orig = chiplib.prove_chip
@@ -56,37 +98,47 @@ def _tpu_prove():
     def timed(compiled, *a, **kw):
         t = time.time()
         r = orig(compiled, *a, **kw)
-        log(f"  chip {compiled.name}: {time.time() - t:.1f}s")
+        dt = time.time() - t
+        if dt > 0.5:
+            log(f"  chip {compiled.name}: {dt:.1f}s")
         return r
 
     chiplib.prove_chip = timed
+    t0 = time.time()
     proof = prove(pk, vm, trace, pv)  # warm (compiles)
-    log("warm prove done")
+    log(f"warm prove done in {time.time() - t0:.1f}s")
     chiplib.prove_chip = orig
     t0 = time.time()
     proof = prove(pk, vm, trace, pv)
     dt = time.time() - t0
     log(f"timed prove: {dt:.1f}s")
+    t0 = time.time()
     assert verify(pk.vk, proof)
-    log("verify ok")
-    return dt, trace.n
+    log(f"verify ok in {time.time() - t0:.1f}s")
+    assigned = generate_witness(
+        trace, pk.opcode_chips, pk.tables, vm, pv, cfg,
+        shard_chips=pk.shard_chips, dyn_chips=pk.dyn_chips,
+    )
+    mults = _estimate_field_mults(pk, assigned)
+    return dt, trace.n, mults
 
 
 def _host_baseline() -> float:
     """All-host prove wall time in a subprocess (thresholds force numpy)."""
     code = (
         "import time\n"
-        "from ceno_tpu.emulator import programs\n"
+        "from ceno_tpu.emulator import programs, native\n"
         "from ceno_tpu.pcs.basefold import BasefoldParams\n"
         "from ceno_tpu.zkvm.tables import ZKVMConfig\n"
         "from ceno_tpu.zkvm.scheme import keygen, prove\n"
         "from ceno_tpu.zkvm.e2e import public_values_from_vm\n"
         f"vm = programs.fibonacci_vm({N_ITERS})\n"
-        "records = vm.run()\n"
-        "pv = public_values_from_vm(vm)\n"
-        "pk = keygen(vm.program, ZKVMConfig(shl_x_bits=10), BasefoldParams())\n"
+        "trace = native.run_trace(vm)\n"
+        "cfg = ZKVMConfig(shl_x_bits=10)\n"
+        "pv = public_values_from_vm(vm, cfg)\n"
+        "pk = keygen(vm.program, cfg, BasefoldParams())\n"
         "t0 = time.time()\n"
-        "proof = prove(pk, vm, records, pv)\n"
+        "proof = prove(pk, vm, trace, pv)\n"
         "print('HOST_SECONDS', time.time() - t0)\n"
     )
     env = dict(os.environ)
@@ -94,7 +146,7 @@ def _host_baseline() -> float:
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=3600,
+        timeout=14400,
     )
     for line in out.stdout.splitlines():
         if line.startswith("HOST_SECONDS"):
@@ -103,7 +155,7 @@ def _host_baseline() -> float:
 
 
 def main():
-    tpu_dt, n_steps = _tpu_prove()
+    tpu_dt, n_steps, mults = _tpu_prove()
     cache = os.path.join(os.path.dirname(__file__), ".bench_host_baseline.json")
     host_dt = None
     try:
@@ -112,18 +164,22 @@ def main():
             if saved.get("n_iters") == N_ITERS:
                 host_dt = saved["seconds"]
         if host_dt is None:
+            log("measuring all-host baseline (one-time, cached)...")
             host_dt = _host_baseline()
             json.dump({"n_iters": N_ITERS, "seconds": host_dt}, open(cache, "w"))
         ratio = round(host_dt / tpu_dt, 2)
-    except Exception:
+    except Exception as e:
+        log(f"host baseline unavailable: {e}")
         ratio = None
     print(
         json.dumps(
             {
-                "metric": "fibonacci_e2e_prove_wall",
+                "metric": "fibonacci_2p20_e2e_prove_wall",
                 "value": round(tpu_dt, 2),
                 "unit": f"s ({n_steps} steps)",
                 "vs_baseline": ratio,
+                "steps_per_s": round(n_steps / tpu_dt),
+                "field_mults_per_s": f"{mults / tpu_dt:.3e}",
             }
         )
     )
