@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def _build_vm(path: str, hints: str):
+def _build_vm(path: str, hints: str, hints_file: str | None = None):
     from .emulator.rv32im import assemble
     from .emulator.state import VMState, make_program, Platform
 
@@ -26,9 +26,16 @@ def _build_vm(path: str, hints: str):
         heap=Platform.heap_start, hints=Platform.hints_start
     )
     vm = VMState(make_program(assemble(src, rom), rom), rom)
-    if hints:
-        for i, word in enumerate(int(x, 0) for x in hints.split(",")):
-            vm.init_memory(Platform.hints_start + 4 * i, word)
+    words = []
+    if hints_file:
+        raw = open(hints_file, "rb").read()
+        words = [
+            int.from_bytes(raw[i : i + 4], "little") for i in range(0, len(raw), 4)
+        ]
+    elif hints:
+        words = [int(x, 0) for x in hints.split(",")]
+    for i, word in enumerate(words):
+        vm.init_memory(Platform.hints_start + 4 * i, word)
     return vm
 
 
@@ -65,6 +72,10 @@ def main(argv=None):
             )
         else:
             p.add_argument("--hints", default="")
+            p.add_argument(
+                "--hints-file", default=None,
+                help="binary hints buffer (host.CenoStdin.to_bytes layout)",
+            )
             p.add_argument("--max-steps", type=int, default=1 << 24)
         if name == "prove":
             p.add_argument("-o", "--out", default="proof.bin")
@@ -94,7 +105,7 @@ def main(argv=None):
         dyn_chips = build_dyn_ram_chips(cfg)
         assigned = None
         if args.guest:
-            vm = _build_vm(args.guest, args.hints)
+            vm = _build_vm(args.guest, args.hints, getattr(args, "hints_file", None))
             records = vm.run()
             tables = build_tables(vm.program, cfg)
             from .zkvm.e2e import public_values_from_vm
@@ -115,7 +126,7 @@ def main(argv=None):
         return 0
 
     if args.cmd == "run":
-        vm = _build_vm(args.guest, args.hints)
+        vm = _build_vm(args.guest, args.hints, getattr(args, "hints_file", None))
         records = vm.run(args.max_steps)
         print(f"halted={vm.halted} exit_code={vm.exit_code} steps={len(records)}")
         return 0 if vm.halted else 1
@@ -125,7 +136,7 @@ def main(argv=None):
         from .zkvm.serialize import proof_to_bytes
 
         cfg, params = _profiles(args.profile)
-        vm = _build_vm(args.guest, args.hints)
+        vm = _build_vm(args.guest, args.hints, getattr(args, "hints_file", None))
         t0 = time.time()
         res = run_e2e(vm, cfg, params, args.max_steps)
         data = proof_to_bytes(res.proof, res.public_values, cfg, params)
