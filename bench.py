@@ -108,10 +108,16 @@ def _tpu_prove():
     proof = prove(pk, vm, trace, pv)  # warm (compiles)
     log(f"warm prove done in {time.time() - t0:.1f}s")
     chiplib.prove_chip = orig
+    from ceno_tpu.utils import spans
+
+    spans.enable()
     t0 = time.time()
     proof = prove(pk, vm, trace, pv)
     dt = time.time() - t0
-    log(f"timed prove: {dt:.1f}s")
+    spans.disable()
+    log(f"timed prove: {dt:.1f}s; span tree:")
+    for line in spans.report(min_seconds=0.2).splitlines():
+        log(f"  {line}")
     t0 = time.time()
     assert verify(pk.vk, proof)
     log(f"verify ok in {time.time() - t0:.1f}s")

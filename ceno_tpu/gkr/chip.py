@@ -442,6 +442,8 @@ def prove_chip(
     challenges: np.ndarray,  # (2, 4) canonical alpha, beta
     transcript: Transcript,
 ):
+    from ..utils import spans
+
     n = wit_dev.shape[1]
     n_vars = n.bit_length() - 1
     use_host = n <= HOST_CHIP_N and isinstance(wit_dev, np.ndarray)
@@ -469,9 +471,10 @@ def prove_chip(
     prods = [m for m in (mr, mw) if m is not None]
     lps = [(pcat, qcat)] if pcat is not None else []
     assert prods or lps, f"{compiled.name}: chip has no records"
-    tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
-        prods, lps, transcript
-    )
+    with spans.span("towers"):
+        tower_proof, rt, (prod_claims, logup_claims) = tower.prove_towers(
+            prods, lps, transcript
+        )
 
     x_star = rt[:n_vars]
     b_star = rt[n_vars:]
@@ -485,23 +488,25 @@ def prove_chip(
     else:
         sel_eq = _masked_eq(jnp.asarray(bb.np_to_monty(x_star)), num_instances, n)
 
-    term_list = []
-    for i, slot in enumerate(compiled.slots):
-        for t in slot.terms:
-            sc = exth.mul(
-                mults[i], E.eval_scalar(t.scalar, challenges, instances)
-            )
-            bidx = tuple(
-                _col_index(c, compiled.n_wit, compiled.n_fixed) for c in t.cols
-            )
-            term_list.append(TermSpec(sc, bidx=bidx, eidx=(0,)))
+    with spans.span("term-setup"):
+        term_list = []
+        for i, slot in enumerate(compiled.slots):
+            for t in slot.terms:
+                sc = exth.mul(
+                    mults[i], E.eval_scalar(t.scalar, challenges, instances)
+                )
+                bidx = tuple(
+                    _col_index(c, compiled.n_wit, compiled.n_fixed) for c in t.cols
+                )
+                term_list.append(TermSpec(sc, bidx=bidx, eidx=(0,)))
 
     base_cols = (
         [wit_dev[i] for i in range(compiled.n_wit)]
         + [fixed_dev[i] for i in range(compiled.n_fixed)]
         + [structural_dev[i] for i in range(len(compiled.structural))]
     )
-    out = sc_prover.prove(base_cols, [sel_eq], term_list, n_vars, transcript)
+    with spans.span("main-zerocheck"):
+        out = sc_prover.prove(base_cols, [sel_eq], term_list, n_vars, transcript)
     transcript.append(out.final_base.ravel())
 
     wit_evals = out.final_base[: compiled.n_wit]

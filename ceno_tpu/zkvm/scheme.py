@@ -204,16 +204,19 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
           shard_ctx=None, opcode_assigned=None) -> ZKVMProof:
     if len(public_values) != N_PUBLIC_VALUES:
         raise ZKVMError("bad public value count")
+    from ..utils import spans
+
     t = Transcript(LABEL)
     t.append(pk.vk.digest_elems())
     t.append(np.asarray(public_values, np.uint64))
 
-    assigned = generate_witness(
-        records, pk.opcode_chips, pk.tables, vm, public_values, pk.cfg,
-        shard_ctx=shard_ctx, shard_chips=pk.shard_chips,
-        dyn_chips=pk.dyn_chips,
-        opcode_assigned=opcode_assigned, data_image=pk.data_image,
-    )
+    with spans.span("witgen"):
+        assigned = generate_witness(
+            records, pk.opcode_chips, pk.tables, vm, public_values, pk.cfg,
+            shard_ctx=shard_ctx, shard_chips=pk.shard_chips,
+            dyn_chips=pk.dyn_chips,
+            opcode_assigned=opcode_assigned, data_image=pk.data_image,
+        )
 
     # group witness columns by height, commit per class
     by_height: dict = {}
@@ -225,9 +228,10 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
         by_height.setdefault(h, []).append(a.wit)
     wit_committed = {}
     for h in sorted(by_height):
-        wit_committed[h] = basefold.commit(
-            _dev(np.concatenate(by_height[h], axis=0)), pk.params
-        )
+        with spans.span(f"commit/2^{h.bit_length() - 1}"):
+            wit_committed[h] = basefold.commit(
+                _dev(np.concatenate(by_height[h], axis=0)), pk.params
+            )
         t.append(wit_committed[h].root)
     for a in assigned:
         t.append([a.num_instances % bb.P])
@@ -244,16 +248,17 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
             else np.zeros((0, n), np.uint64)
         )
         fixed = _fixed_matrix(pk, a, n)
-        proof, opening = chiplib.prove_chip(
-            a.compiled,
-            a.wit,
-            fixed,
-            structural,
-            public_values,
-            a.num_instances,
-            challenges,
-            t,
-        )
+        with spans.span(f"chip/{a.name}"):
+            proof, opening = chiplib.prove_chip(
+                a.compiled,
+                a.wit,
+                fixed,
+                structural,
+                public_values,
+                a.num_instances,
+                challenges,
+                t,
+            )
         chip_proofs.append(proof)
         openings.append(opening)
 
@@ -285,9 +290,10 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
     witness_openings = {}
     for h in sorted(wit_committed):
         points, claims = _class_claims(wit_layout[h], openings, extra_rows)
-        witness_openings[h] = basefold.open_batch(
-            wit_committed[h], points, claims, t, pk.params
-        )
+        with spans.span(f"open/2^{h.bit_length() - 1}"):
+            witness_openings[h] = basefold.open_batch(
+                wit_committed[h], points, claims, t, pk.params
+            )
     fixed_openings = {}
     for h in sorted(pk.fixed_committed):
         entries = pk.fixed_layout[h]
