@@ -37,6 +37,7 @@ class _StepRow(ctypes.Structure):
         ("rd_prev", ctypes.c_uint32), ("rd_val", ctypes.c_uint32),
         ("rs1_prev_ts", ctypes.c_uint32), ("rs2_prev_ts", ctypes.c_uint32),
         ("rd_prev_ts", ctypes.c_uint32),
+        ("sys_idx", ctypes.c_int32),
         ("mem_waddr", ctypes.c_int64),
         ("mem_prev", ctypes.c_uint32), ("mem_val", ctypes.c_uint32),
         ("mem_prev_ts", ctypes.c_uint32),
@@ -91,6 +92,13 @@ def _lib():
             ctypes.c_void_p, np.ctypeslib.ndpointer(np.uint32),
             np.ctypeslib.ndpointer(np.uint32), np.ctypeslib.ndpointer(np.uint32),
         ]
+        lib.emu_sys_count.restype = ctypes.c_int64
+        lib.emu_sys_count.argtypes = [ctypes.c_void_p]
+        lib.emu_sys_dump.argtypes = [ctypes.c_void_p] + [
+            np.ctypeslib.ndpointer(np.uint32)
+        ] * 4
+        lib.emu_pubio.restype = ctypes.c_int
+        lib.emu_pubio.argtypes = [ctypes.c_void_p, np.ctypeslib.ndpointer(np.uint32)]
         _LIB = lib
     return _LIB
 
@@ -171,6 +179,11 @@ def run_native(vm: VMState, max_steps: int = 1 << 24):
             vm.mem[int(waddrs[i])] = int(vals[i])
             vm.mem_ts[int(waddrs[i])] = int(tss[i])
             vm.touched.add(int(waddrs[i]))
+        digest = np.zeros(8, np.uint32)
+        if lib.emu_pubio(h, digest):
+            vm.pubio_digest = [int(x) for x in digest]
+
+        sys_blocks = _fetch_sys_blocks(lib, h)
 
         # reconstruct via numpy structured views (ctypes per-field access is
         # ~20x slower than tolist() over a structured array)
@@ -186,7 +199,7 @@ def run_native(vm: VMState, max_steps: int = 1 << 24):
             rows = arr.tolist()
             for row in rows:
                 (pc, next_pc, cycle, kind, rd, rs1, rs2, imm, rs1_val, rs2_val,
-                 rd_prev, rd_val, rs1_pts, rs2_pts, rd_pts, _pad,
+                 rd_prev, rd_val, rs1_pts, rs2_pts, rd_pts, sys_idx,
                  mem_waddr, mem_prev, mem_val, mem_pts, _pad2) = row
                 if kind == ecall_kind:
                     insn = DecodedInsn(kind, 0, 0, 0, 0, 0)
@@ -203,6 +216,14 @@ def run_native(vm: VMState, max_steps: int = 1 << 24):
                     rec.rd = (rd, rd_prev, rd_val, rd_pts)
                 if mem_waddr >= 0:
                     rec.mem = (mem_waddr, mem_prev, mem_val, mem_pts)
+                if sys_idx >= 0:
+                    n_ops = 8 if rs1_val == Platform.ECALL_COMMIT else 50
+                    blk = sys_blocks[sys_idx]
+                    rec.sys_mem = [
+                        (int(blk[0][i]), int(blk[1][i]), int(blk[2][i]),
+                         int(blk[3][i]))
+                        for i in range(n_ops)
+                    ]
                 records.append(rec)
         return records
     finally:
@@ -215,7 +236,7 @@ _ROW_DTYPE = np.dtype(
         ("rd", "<i4"), ("rs1", "<i4"), ("rs2", "<i4"), ("imm", "<i4"),
         ("rs1_val", "<u4"), ("rs2_val", "<u4"), ("rd_prev", "<u4"), ("rd_val", "<u4"),
         ("rs1_prev_ts", "<u4"), ("rs2_prev_ts", "<u4"), ("rd_prev_ts", "<u4"),
-        ("_pad", "<u4"),
+        ("sys_idx", "<i4"),
         ("mem_waddr", "<i8"), ("mem_prev", "<u4"), ("mem_val", "<u4"),
         ("mem_prev_ts", "<u4"), ("_pad2", "<u4"),
     ]
@@ -285,7 +306,33 @@ def _run_trace_native(vm: VMState, max_steps: int):
             [KINDS.index("LUI"), KINDS.index("AUIPC")], np.int32
         ))
         imm = np.where(unsigned, imm & 0xFFFFFFFF, imm)
+        kind = arr["kind"].astype(np.int64)
+        sys_idx = arr["sys_idx"].astype(np.int64)
+        has_sys = sys_idx >= 0
+        if has_sys.any():
+            kind = np.where(
+                has_sys & (arr["rs1_val"] == Platform.ECALL_COMMIT),
+                KINDS.index("SYS_COMMIT"),
+                np.where(has_sys, KINDS.index("SYS_KECCAK"), kind),
+            )
+            nb = lib.emu_sys_count(h)
+            size = nb * 50
+            s_addr = np.zeros(size, np.uint32)
+            s_prev = np.zeros(size, np.uint32)
+            s_val = np.zeros(size, np.uint32)
+            s_pts = np.zeros(size, np.uint32)
+            lib.emu_sys_dump(h, s_addr, s_prev, s_val, s_pts)
+            sys_arrays = dict(
+                sys_addr=s_addr.reshape(nb, 50).astype(np.int64),
+                sys_prev=s_prev.reshape(nb, 50).astype(np.int64),
+                sys_val=s_val.reshape(nb, 50).astype(np.int64),
+                sys_pts=s_pts.reshape(nb, 50).astype(np.int64),
+            )
+        else:
+            sys_arrays = {}
         return TraceView(
+            sys_idx=sys_idx,
+            **sys_arrays,
             n=len(arr),
             pc=arr["pc"].astype(np.int64),
             ts=arr["cycle"].astype(np.int64),
@@ -304,10 +351,28 @@ def _run_trace_native(vm: VMState, max_steps: int):
             mem_val=arr["mem_val"].astype(np.int64),
             mem_pts=arr["mem_prev_ts"].astype(np.int64),
             imm=imm,
-            kind=arr["kind"].astype(np.int64),
+            kind=kind,
         )
     finally:
         lib.emu_free(h)
+
+
+def _fetch_sys_blocks(lib, h):
+    """[(addr, prev, val, pts) arrays of width 50] per bulk-syscall block."""
+    nb = lib.emu_sys_count(h)
+    if not nb:
+        return []
+    size = nb * 50
+    addr = np.zeros(size, np.uint32)
+    prev = np.zeros(size, np.uint32)
+    val = np.zeros(size, np.uint32)
+    pts = np.zeros(size, np.uint32)
+    lib.emu_sys_dump(h, addr, prev, val, pts)
+    return [
+        (addr[i * 50:(i + 1) * 50], prev[i * 50:(i + 1) * 50],
+         val[i * 50:(i + 1) * 50], pts[i * 50:(i + 1) * 50])
+        for i in range(nb)
+    ]
 
 
 def _sync_vm_state(lib, h, vm: VMState) -> None:
@@ -336,3 +401,6 @@ def _sync_vm_state(lib, h, vm: VMState) -> None:
         vm.mem[int(waddrs[i])] = int(vals[i])
         vm.mem_ts[int(waddrs[i])] = int(tss[i])
         vm.touched.add(int(waddrs[i]))
+    digest = np.zeros(8, np.uint32)
+    if lib.emu_pubio(h, digest):
+        vm.pubio_digest = [int(x) for x in digest]

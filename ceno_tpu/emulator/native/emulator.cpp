@@ -27,6 +27,7 @@ struct StepRow {
   uint32_t rs1_val, rs2_val;
   uint32_t rd_prev, rd_val;
   uint32_t rs1_prev_ts, rs2_prev_ts, rd_prev_ts;
+  int32_t sys_idx;      // bulk-syscall block index (-1 when absent)
   int64_t mem_waddr;    // -1 when absent
   uint32_t mem_prev, mem_val, mem_prev_ts;
 };
@@ -120,7 +121,54 @@ struct Vm {
   uint32_t pc = 0, cycle = 4;
   int halted = 0;
   uint32_t exit_code = 0;
+  // bulk-syscall memory ops: fixed 50-entry blocks (keccak 50, commit 8+pad)
+  std::vector<uint32_t> sys_addr, sys_prev, sys_val, sys_pts;
+  int64_t sys_blocks = 0;
+  uint32_t pubio_digest[8] = {0};
+  int pubio_committed = 0;
 };
+
+// ---------------------------------------------------------------------------
+// keccak-f[1600] (syscall 0x010109; layout mirror of emulator/keccak.py)
+// ---------------------------------------------------------------------------
+
+static const uint64_t KECCAK_RC[24] = {
+    0x0000000000000001ull, 0x0000000000008082ull, 0x800000000000808aull,
+    0x8000000080008000ull, 0x000000000000808bull, 0x0000000080000001ull,
+    0x8000000080008081ull, 0x8000000000008009ull, 0x000000000000008aull,
+    0x0000000000000088ull, 0x0000000080008009ull, 0x000000008000000aull,
+    0x000000008000808bull, 0x800000000000008bull, 0x8000000000008089ull,
+    0x8000000000008003ull, 0x8000000000008002ull, 0x8000000000000080ull,
+    0x000000000000800aull, 0x800000008000000aull, 0x8000000080008081ull,
+    0x8000000000008080ull, 0x0000000080000001ull, 0x8000000080008008ull,
+};
+static const int KECCAK_ROT[5][5] = {
+    {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+    {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14},
+};
+
+static inline uint64_t rotl64(uint64_t v, int r) {
+  return r ? (v << r) | (v >> (64 - r)) : v;
+}
+
+static void keccakf(uint64_t a[25]) {
+  uint64_t c[5], d[5], b[25];
+  for (int rnd = 0; rnd < 24; rnd++) {
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y] ^ d[x],
+                                                  KECCAK_ROT[x][y]);
+    for (int y = 0; y < 5; y++)
+      for (int x = 0; x < 5; x++)
+        a[x + 5 * y] = b[x + 5 * y] ^ (~b[(x + 1) % 5 + 5 * y] &
+                                       b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[rnd];
+  }
+}
 
 static Vm *g_vm = nullptr;
 
@@ -161,6 +209,7 @@ int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
     r.rd = -1; r.rs1 = -1; r.rs2 = -1;
     r.imm = d.imm;
     r.mem_waddr = -1;
+    r.sys_idx = -1;
     uint32_t ts = vm->cycle;
     uint32_t next_pc = vm->pc + 4;
 
@@ -303,6 +352,54 @@ int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
         vm->halted = 1;
         vm->exit_code = vm->regs[10];
         next_pc = vm->pc;
+      } else if (code == 0x010109u || code == 0x010120u) {
+        // KECCAK_PERMUTE / PUB_IO_COMMIT (keccak_permute.rs /
+        // pubio_commit.rs layouts; python mirror in emulator/state.py)
+        auto q = read_reg(10, 1);
+        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
+        uint32_t ptr = q.first;
+        if (ptr & 3) return -2; // misaligned: python path raises cleanly
+        uint32_t base_w = ptr >> 2;
+        int n_words = code == 0x010109u ? 50 : 8;
+        uint32_t words[50];
+        for (int i = 0; i < n_words; i++) {
+          uint32_t w_ = base_w + (uint32_t)i;
+          words[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+        }
+        uint32_t outw[50];
+        if (code == 0x010109u) {
+          uint64_t lanes[25];
+          for (int i = 0; i < 25; i++)
+            lanes[i] = (uint64_t)words[2 * i] | ((uint64_t)words[2 * i + 1] << 32);
+          keccakf(lanes);
+          for (int i = 0; i < 25; i++) {
+            outw[2 * i] = (uint32_t)lanes[i];
+            outw[2 * i + 1] = (uint32_t)(lanes[i] >> 32);
+          }
+        } else {
+          for (int i = 0; i < 8; i++) vm->pubio_digest[i] = words[i];
+          vm->pubio_committed = 1;
+          for (int i = 0; i < n_words; i++) outw[i] = words[i];
+        }
+        r.sys_idx = (int32_t)vm->sys_blocks;
+        for (int i = 0; i < 50; i++) {
+          uint32_t w_ = base_w + (uint32_t)i;
+          if (i < n_words) {
+            uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+            vm->sys_addr.push_back(w_);
+            vm->sys_prev.push_back(words[i]);
+            vm->sys_val.push_back(outw[i]);
+            vm->sys_pts.push_back(pts);
+            vm->mem[w_] = outw[i];
+            vm->mem_ts[w_] = ts + 3;
+          } else {
+            vm->sys_addr.push_back(0);
+            vm->sys_prev.push_back(0);
+            vm->sys_val.push_back(0);
+            vm->sys_pts.push_back(0);
+          }
+        }
+        vm->sys_blocks++;
       } else {
         return -2; // unsupported ecall
       }
@@ -344,6 +441,24 @@ void emu_mem_dump(void *h, uint32_t *waddrs, uint32_t *vals, uint32_t *tss) {
     tss[i] = kv.second;
     i++;
   }
+}
+
+int64_t emu_sys_count(void *h) { return ((Vm *)h)->sys_blocks; }
+
+void emu_sys_dump(void *h, uint32_t *addr, uint32_t *prev, uint32_t *val,
+                  uint32_t *pts) {
+  Vm *vm = (Vm *)h;
+  size_t n = vm->sys_addr.size();
+  memcpy(addr, vm->sys_addr.data(), n * 4);
+  memcpy(prev, vm->sys_prev.data(), n * 4);
+  memcpy(val, vm->sys_val.data(), n * 4);
+  memcpy(pts, vm->sys_pts.data(), n * 4);
+}
+
+int emu_pubio(void *h, uint32_t *digest8) {
+  Vm *vm = (Vm *)h;
+  memcpy(digest8, vm->pubio_digest, 8 * 4);
+  return vm->pubio_committed;
 }
 
 }  // extern "C"

@@ -92,3 +92,68 @@ def test_native_trace_matches_records():
         np.testing.assert_array_equal(
             getattr(view, f), getattr(ref, f), err_msg=f
         )
+
+
+def test_native_syscalls_match_python():
+    """keccak + pubio-commit records and digest identical across backends."""
+    from ceno_tpu.emulator import native
+    from ceno_tpu.emulator.rv32im import assemble
+    from ceno_tpu.emulator.state import VMState, make_program, Platform
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    ROM, HEAP = Platform.rom_start, Platform.heap_start
+    src = f"""
+        li t1, {HEAP}
+        li a1, 7
+        sw a1, 0(t1)
+        li t0, {Platform.ECALL_KECCAK}
+        mv a0, t1
+        ecall
+        mv a0, t1
+        li t0, {Platform.ECALL_COMMIT}
+        ecall
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    vm_n = VMState(make_program(assemble(src, ROM), ROM), ROM)
+    recs_n = native.run_native(vm_n)
+    vm_p = VMState(make_program(assemble(src, ROM), ROM), ROM)
+    recs_p = vm_p.run()
+    assert len(recs_n) == len(recs_p)
+    for a, b in zip(recs_n, recs_p):
+        assert (a.pc, a.next_pc, a.cycle, a.rs1, a.rs2, a.rd, a.mem,
+                a.sys_mem) == (b.pc, b.next_pc, b.cycle, b.rs1, b.rs2,
+                               b.rd, b.mem, b.sys_mem)
+    assert vm_n.pubio_digest == vm_p.pubio_digest
+    assert vm_n.mem == vm_p.mem
+
+
+def test_native_trace_syscall_kinds():
+    from ceno_tpu.emulator import native
+    from ceno_tpu.emulator.rv32im import assemble, K
+    from ceno_tpu.emulator.state import VMState, make_program, Platform
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    ROM, HEAP = Platform.rom_start, Platform.heap_start
+    src = f"""
+        li t1, {HEAP}
+        li t0, {Platform.ECALL_KECCAK}
+        mv a0, t1
+        ecall
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    vm = VMState(make_program(assemble(src, ROM), ROM), ROM)
+    view = native.run_trace(vm)
+    kk = np.nonzero(view.kind == K["SYS_KECCAK"])[0]
+    assert len(kk) == 1
+    assert view.sys_idx[kk[0]] == 0
+    assert view.sys_addr.shape == (1, 50)
