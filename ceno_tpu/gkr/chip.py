@@ -573,6 +573,317 @@ class ChipError(Exception):
     pass
 
 
+# ---------------------------------------------------------------------------
+# Class-batched main zerocheck (cross-chip batching)
+#
+# Role mirror of the reference's batched main constraints
+# (ceno_zkvm/src/scheme/cpu/mod.rs:1043-1392): instead of one main sumcheck
+# per chip, all chips of one height class run ONE batched zerocheck. Per-chip
+# towers stay as today (each absorbs its proof and samples its slot alphas on
+# the shared transcript); after ALL towers of the class are bound, the class
+# samples fresh gamma powers (one per chip) and proves
+#     sum_i gamma_i * sel_eq_i(x) * (sum_slot mult_slot * slot_expr_i(x)) = claim
+# in a single sumcheck over the class's n_vars. Every chip in the class then
+# opens its witness columns at the SAME point — the PCS batch gets one main
+# point per height class (the reference's "per-chip opening point =
+# global_rt[..chip_num_vars]", cpu/mod.rs:1365-1380, adapted to height
+# classes, which is the TPU-natural same-shape batching unit).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ChipTowerProof:
+    """Per-chip proof piece when the main sumcheck is class-batched."""
+
+    num_instances: int
+    n_vars: int
+    tower_proof: tower.TowerProof
+
+
+@dataclass
+class ClassMainProof:
+    """One batched main zerocheck for all chips of a height class."""
+
+    main_msgs: np.ndarray          # (n_vars, deg+1, 4)
+    wit_evals: list                # per chip (class order): (n_wit, 4)
+    fixed_evals: list              # per chip: (n_fixed, 4)
+    structural_evals: list         # per chip: (n_struct, 4)
+
+
+@dataclass
+class _TowerCtx:
+    """Prover-side state between a chip's tower and its class's main stage."""
+
+    compiled: CompiledChip
+    num_instances: int
+    n_vars: int
+    use_host: bool
+    wit_dev: object
+    fixed_dev: object
+    structural_dev: object
+    x_star: np.ndarray
+    mults: list
+    proof: ChipTowerProof
+
+
+def prove_chip_tower(
+    compiled: CompiledChip,
+    wit_dev,
+    fixed_dev,
+    structural_dev,
+    instances: np.ndarray,
+    num_instances: int,
+    challenges: np.ndarray,
+    transcript: Transcript,
+) -> _TowerCtx:
+    """Records + towers + slot-alpha sampling for one chip (stage 1 of the
+    class-batched prove; identical transcript interaction to the first half
+    of prove_chip)."""
+    from ..utils import spans
+
+    n = wit_dev.shape[1]
+    n_vars = n.bit_length() - 1
+    use_host = n <= HOST_CHIP_N and isinstance(wit_dev, np.ndarray)
+    if use_host:
+        mr, mw, pcat, qcat = _build_records_host(
+            compiled, wit_dev, fixed_dev, structural_dev, instances,
+            challenges, num_instances, n,
+        )
+    else:
+        if isinstance(wit_dev, np.ndarray):
+            wit_dev, fixed_dev, structural_dev = (
+                _to_dev(wit_dev), _to_dev(fixed_dev), _to_dev(structural_dev)
+            )
+        builder = compiled._builder_cache.get("rb")
+        if builder is None:
+            builder = make_record_builder(compiled)
+            compiled._builder_cache["rb"] = builder
+        chals_dev = jnp.asarray(bb.np_to_monty(challenges))
+        inst_dev = jnp.asarray(
+            bb.np_to_monty(np.asarray(instances, np.uint64).astype(np.uint32))
+        )
+        mr, mw, pcat, qcat = builder(
+            wit_dev, fixed_dev, structural_dev, inst_dev, chals_dev, num_instances
+        )
+    prods = [m for m in (mr, mw) if m is not None]
+    lps = [(pcat, qcat)] if pcat is not None else []
+    assert prods or lps, f"{compiled.name}: chip has no records"
+    with spans.span("towers"):
+        tower_proof, rt, _claims = tower.prove_towers(prods, lps, transcript)
+    x_star = rt[:n_vars]
+    b_star = rt[n_vars:]
+    mults, _meta = _slot_multipliers(compiled, b_star, transcript)
+    return _TowerCtx(
+        compiled, num_instances, n_vars, use_host,
+        wit_dev, fixed_dev, structural_dev, x_star, mults,
+        ChipTowerProof(num_instances, n_vars, tower_proof),
+    )
+
+
+def prove_class_main(
+    ctxs: list,
+    instances: np.ndarray,
+    challenges: np.ndarray,
+    transcript: Transcript,
+):
+    """Stage 2: one batched zerocheck for all chips of one height class.
+
+    Returns (ClassMainProof, [ChipOpening per chip in ctx order])."""
+    from ..utils import spans
+
+    n_vars = ctxs[0].n_vars
+    assert all(c.n_vars == n_vars for c in ctxs)
+    use_host = all(c.use_host for c in ctxs)
+    n = 1 << n_vars
+    gammas = transcript.sample_ext_pows(len(ctxs))
+
+    base_cols = []
+    ext_cols = []
+    term_list = []
+    col_base = 0
+    for i, ctx in enumerate(ctxs):
+        compiled = ctx.compiled
+        if use_host:
+            from ..sumcheck import host_impl as H
+
+            sel_eq = H.build_eq_host(ctx.x_star)
+            sel_eq[ctx.num_instances:] = 0
+        else:
+            sel_eq = _masked_eq(
+                jnp.asarray(bb.np_to_monty(ctx.x_star)), ctx.num_instances, n
+            )
+        ext_cols.append(sel_eq)
+        for si, slot in enumerate(compiled.slots):
+            g_mult = exth.mul(gammas[i], ctx.mults[si])
+            for tm in slot.terms:
+                sc = exth.mul(g_mult, E.eval_scalar(tm.scalar, challenges, instances))
+                bidx = tuple(
+                    col_base + _col_index(c, compiled.n_wit, compiled.n_fixed)
+                    for c in tm.cols
+                )
+                term_list.append(TermSpec(sc, bidx=bidx, eidx=(i,)))
+        base_cols += (
+            [ctx.wit_dev[j] for j in range(compiled.n_wit)]
+            + [ctx.fixed_dev[j] for j in range(compiled.n_fixed)]
+            + [ctx.structural_dev[j] for j in range(len(compiled.structural))]
+        )
+        col_base += compiled.n_cols
+
+    with spans.span(f"main-zerocheck/2^{n_vars}"):
+        out = sc_prover.prove(base_cols, ext_cols, term_list, n_vars, transcript)
+    transcript.append(out.final_base.ravel())
+
+    wit_evals, fixed_evals, structural_evals, openings = [], [], [], []
+    off = 0
+    for ctx in ctxs:
+        compiled = ctx.compiled
+        we = out.final_base[off : off + compiled.n_wit]
+        fe = out.final_base[off + compiled.n_wit : off + compiled.n_wit + compiled.n_fixed]
+        se = out.final_base[
+            off + compiled.n_wit + compiled.n_fixed : off + compiled.n_cols
+        ]
+        off += compiled.n_cols
+        wit_evals.append(we)
+        fixed_evals.append(fe)
+        structural_evals.append(se)
+        openings.append(ChipOpening(out.point, we, fe))
+    proof = ClassMainProof(out.proof.round_msgs, wit_evals, fixed_evals, structural_evals)
+    return proof, openings
+
+
+@dataclass
+class _VerifyCtx:
+    """Verifier-side state between a chip's tower and the class main check."""
+
+    compiled: CompiledChip
+    num_instances: int
+    n_vars: int
+    x_star: np.ndarray
+    mults: list
+    batched_claim: np.ndarray
+    main_deg: int
+
+
+def verify_chip_tower(
+    compiled: CompiledChip,
+    proof: ChipTowerProof,
+    instances: np.ndarray,
+    challenges: np.ndarray,
+    transcript: Transcript,
+):
+    """Stage 1 of the class-batched verify: tower verification + the chip's
+    batched main claim. Returns (_VerifyCtx, prod_values, logup_fracs)."""
+    n_vars = proof.n_vars
+    k = proof.num_instances
+    rho, r_r, r_w, r_l = interleave_geometry(compiled)
+    n_lk = len(compiled.lk_exprs)
+    rt, prod_claims, logup_claims, prod_values, logup_fracs = tower.verify_towers(
+        proof.tower_proof, n_vars + rho, transcript
+    )
+    x_star = rt[:n_vars]
+    b_star = rt[n_vars:]
+    mults, meta = _slot_multipliers(compiled, b_star, transcript)
+    w = meta["w"]
+    one = exth.one()
+
+    batched = np.zeros(4, np.uint64)
+    pi = 0
+    if r_r:
+        batched = exth.add(batched, exth.mul(meta["a_r"], exth.sub(prod_claims[pi], one)))
+        pi += 1
+    if r_w:
+        batched = exth.add(batched, exth.mul(meta["a_w"], exth.sub(prod_claims[pi], one)))
+        pi += 1
+    if r_l:
+        sel_v = sel_prefix_sum(x_star, k)
+        w_chip = np.zeros(4, np.uint64)
+        for i in range(n_lk):
+            w_chip = exth.add(w_chip, w[i])
+        p_claim = exth.sub(logup_claims[0][0], exth.mul(sel_v, w_chip))
+        batched = exth.add(batched, exth.mul(meta["a_p"], p_claim))
+        batched = exth.add(
+            batched, exth.mul(meta["a_q"], exth.sub(logup_claims[0][1], one))
+        )
+    main_deg = max(
+        (len(t.cols) + 1 for s in compiled.slots for t in s.terms), default=1
+    )
+    ctx = _VerifyCtx(compiled, k, n_vars, x_star, mults, batched, main_deg)
+    return ctx, prod_values, logup_fracs
+
+
+def verify_class_main(
+    vctxs: list,
+    class_proof: ClassMainProof,
+    instances: np.ndarray,
+    challenges: np.ndarray,
+    transcript: Transcript,
+):
+    """Stage 2 of the class-batched verify. Returns [ChipOpening per chip]."""
+    n_vars = vctxs[0].n_vars
+    if any(v.n_vars != n_vars for v in vctxs):
+        raise ChipError("class members disagree on n_vars")
+    if (
+        len(class_proof.wit_evals) != len(vctxs)
+        or len(class_proof.fixed_evals) != len(vctxs)
+        or len(class_proof.structural_evals) != len(vctxs)
+    ):
+        raise ChipError("class proof eval count mismatch")
+    gammas = transcript.sample_ext_pows(len(vctxs))
+    combined = np.zeros(4, np.uint64)
+    for g, v in zip(gammas, vctxs):
+        combined = exth.add(combined, exth.mul(g, v.batched_claim))
+    deg = max(v.main_deg for v in vctxs)
+    point, final_claim = sc_verifier.verify(
+        combined, class_proof.main_msgs, n_vars, transcript, deg=deg
+    )
+    flat = []
+    for i, v in enumerate(vctxs):
+        we = np.asarray(class_proof.wit_evals[i], np.uint64)
+        fe = np.asarray(class_proof.fixed_evals[i], np.uint64)
+        se = np.asarray(class_proof.structural_evals[i], np.uint64)
+        if we.shape != (v.compiled.n_wit, 4) or fe.shape != (v.compiled.n_fixed, 4) \
+                or se.shape != (len(v.compiled.structural), 4):
+            raise ChipError(f"{v.compiled.name}: eval shape mismatch")
+        flat += [we, fe, se]
+    transcript.append(
+        np.concatenate([x.reshape(-1) for x in flat])
+        if flat else np.zeros(0, np.uint64)
+    )
+
+    total = np.zeros(4, np.uint64)
+    openings = []
+    for i, v in enumerate(vctxs):
+        compiled = v.compiled
+        we = np.asarray(class_proof.wit_evals[i], np.uint64)
+        fe = np.asarray(class_proof.fixed_evals[i], np.uint64)
+        se = np.asarray(class_proof.structural_evals[i], np.uint64)
+        for j, spec in enumerate(compiled.structural):
+            if not np.array_equal(se[j], structural_eval(spec, point)):
+                raise ChipError(f"{compiled.name}: structural column {j} eval mismatch")
+        col_evals = (
+            np.concatenate([we, fe, se], axis=0)
+            if compiled.n_cols
+            else np.zeros((0, 4), np.uint64)
+        )
+        acc = np.zeros(4, np.uint64)
+        for si, slot in enumerate(compiled.slots):
+            slot_val = np.zeros(4, np.uint64)
+            for tm in slot.terms:
+                val = E.eval_scalar(tm.scalar, challenges, instances)
+                for c in tm.cols:
+                    val = exth.mul(
+                        val, col_evals[_col_index(c, compiled.n_wit, compiled.n_fixed)]
+                    )
+                slot_val = exth.add(slot_val, val)
+            acc = exth.add(acc, exth.mul(v.mults[si], slot_val))
+        s_eq = sel_eq_eval(v.x_star, point, v.num_instances)
+        total = exth.add(total, exth.mul(gammas[i], exth.mul(s_eq, acc)))
+        openings.append(ChipOpening(point, we, fe))
+    if not np.array_equal(total, final_claim):
+        raise ChipError("class main sumcheck recombination mismatch")
+    return openings
+
+
 def verify_chip(
     compiled: CompiledChip,
     proof: ChipProof,

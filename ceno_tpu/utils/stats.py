@@ -122,6 +122,7 @@ def proof_size_breakdown(proof) -> dict:
         "public_values": nbytes(proof.public_values),
         "witness_roots": nbytes(proof.witness_roots),
         "chip_proofs": nbytes(proof.chip_proofs),
+        "class_main": nbytes(proof.class_main),
         "ec_proofs": nbytes(proof.ec_proofs),
         "witness_openings": nbytes(proof.witness_openings),
         "fixed_openings": nbytes(proof.fixed_openings),

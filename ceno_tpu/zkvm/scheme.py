@@ -20,8 +20,10 @@ one shard:
 Cross-shard stitching (public-value chaining + EC sum accumulation across
 shards, verifier.rs:398-475 mirror) lives in zkvm/shard.py.
 
-Transcript order is the soundness contract and is fixed here (v4: round 2
-extended public values + EC proofs + dynamic RAM lengths + pubio digest)."""
+Transcript order is the soundness contract and is fixed here (v5: class-
+batched main zerocheck — per-chip towers in registry order, then per height
+class ascending: gamma powers, ONE batched main sumcheck, per-chip column
+evals; reference mirror cpu/mod.rs:1043-1392 adapted to height classes)."""
 
 from __future__ import annotations
 
@@ -48,7 +50,7 @@ from .layout import (
     PV_HEAP_WORDS, PV_STACK_WORDS,
 )
 
-LABEL = b"ceno-tpu/zkvm/v4"
+LABEL = b"ceno-tpu/zkvm/v5"
 
 
 def _dev(x: np.ndarray):
@@ -125,7 +127,8 @@ class ZKVMProof:
     public_values: np.ndarray
     num_instances: list
     witness_roots: dict        # height -> (8,) canonical
-    chip_proofs: list          # chiplib.ChipProof per chip (registry order)
+    chip_proofs: list          # chiplib.ChipTowerProof per chip (registry order)
+    class_main: dict           # height -> chiplib.ClassMainProof
     ec_proofs: dict            # chip name -> eccquark.EccQuarkProof
     witness_openings: dict     # height -> basefold.OpeningProof
     fixed_openings: dict       # height -> basefold.OpeningProof
@@ -238,8 +241,8 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
 
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
 
-    chip_proofs = []
-    openings = []
+    # stage 1: per-chip records + towers (registry order, shared transcript)
+    ctxs = []
     for a in assigned:
         n = a.n_rows
         structural = (
@@ -249,18 +252,26 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
         )
         fixed = _fixed_matrix(pk, a, n)
         with spans.span(f"chip/{a.name}"):
-            proof, opening = chiplib.prove_chip(
-                a.compiled,
-                a.wit,
-                fixed,
-                structural,
-                public_values,
-                a.num_instances,
-                challenges,
-                t,
+            ctxs.append(
+                chiplib.prove_chip_tower(
+                    a.compiled, a.wit, fixed, structural, public_values,
+                    a.num_instances, challenges, t,
+                )
             )
-        chip_proofs.append(proof)
-        openings.append(opening)
+    chip_proofs = [c.proof for c in ctxs]
+
+    # stage 2: ONE batched main zerocheck per height class (ascending)
+    class_main = {}
+    openings = [None] * len(assigned)
+    for h in sorted(wit_layout):
+        members = [ci for ci, _, _ in wit_layout[h]]
+        with spans.span(f"class-main/2^{h.bit_length() - 1}"):
+            cmp_proof, opens = chiplib.prove_class_main(
+                [ctxs[ci] for ci in members], public_values, challenges, t
+            )
+        class_main[h] = cmp_proof
+        for ci, op in zip(members, opens):
+            openings[ci] = op
 
     # Quark EC-sum proofs for the cross-shard trees (registry order)
     ec_proofs = {}
@@ -297,11 +308,11 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
     fixed_openings = {}
     for h in sorted(pk.fixed_committed):
         entries = pk.fixed_layout[h]
-        points = np.stack([openings[ci].point for ci, _, _ in entries])
+        points = np.stack([openings[entries[0][0]].point])
         claims = []
-        for k, (ci, off, ncols) in enumerate(entries):
+        for ci, off, ncols in entries:
             for j in range(ncols):
-                claims.append(Claim(k, off + j, openings[ci].fixed_evals[j]))
+                claims.append(Claim(0, off + j, openings[ci].fixed_evals[j]))
         fixed_openings[h] = basefold.open_batch(
             pk.fixed_committed[h], points, claims, t, pk.params
         )
@@ -311,6 +322,7 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
         [a.num_instances for a in assigned],
         {h: c.root for h, c in wit_committed.items()},
         chip_proofs,
+        class_main,
         ec_proofs,
         witness_openings,
         fixed_openings,
@@ -318,14 +330,15 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
 
 
 def _class_claims(entries, openings, extra_rows):
-    """Stack the per-class opening points: main chip points first (entry
-    order), then any extra EC rows (chip order, even/odd/hi)."""
-    points = [openings[ci].point for ci, _, _ in entries]
+    """Opening points for one height class: the SHARED class main point
+    (every chip opens at the batched zerocheck's point — one point per
+    class), then any extra EC rows (chip order, even/odd/hi)."""
+    points = [openings[entries[0][0]].point]
     claims = []
-    for k, (ci, off, ncols) in enumerate(entries):
+    for ci, off, ncols in entries:
         for j in range(ncols):
-            claims.append(Claim(k, off + j, openings[ci].wit_evals[j]))
-    k_next = len(points)
+            claims.append(Claim(0, off + j, openings[ci].wit_evals[j]))
+    k_next = 1
     for ci, off, ncols in entries:
         for point, cols in extra_rows.get(ci, []):
             points.append(point)
@@ -417,15 +430,15 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     prod_w = exth.one()
     logup_num = np.zeros(4, np.uint64)
     logup_den = exth.one()
-    openings = []
+    vctxs = []
     for ci, meta in enumerate(vk.metas):
         cp = proof.chip_proofs[ci]
         if cp.num_instances != proof.num_instances[ci] or cp.n_vars != heights[ci].bit_length() - 1:
             raise ZKVMError(f"{meta.name}: instance count mismatch")
-        opening, prod_values, logup_fracs = chiplib.verify_chip(
+        vctx, prod_values, logup_fracs = chiplib.verify_chip_tower(
             meta.compiled, cp, pv, challenges, t
         )
-        openings.append(opening)
+        vctxs.append(vctx)
         pi = 0
         if meta.compiled.r_exprs:
             prod_r = exth.mul(prod_r, prod_values[pi])
@@ -437,6 +450,18 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             p, q = logup_fracs[s]
             logup_num = exth.add(exth.mul(logup_num, q), exth.mul(p, logup_den))
             logup_den = exth.mul(logup_den, q)
+
+    # class-batched main zerochecks (ascending height; mirrors the prover)
+    if set(proof.class_main) != set(wit_layout):
+        raise ZKVMError("class main proof height set mismatch")
+    openings = [None] * len(vk.metas)
+    for h in sorted(wit_layout):
+        members = [ci for ci, _, _ in wit_layout[h]]
+        opens = chiplib.verify_class_main(
+            [vctxs[ci] for ci in members], proof.class_main[h], pv, challenges, t
+        )
+        for ci, op in zip(members, opens):
+            openings[ci] = op
 
     # EC-sum quark proofs (registry order, matching the prover)
     extra_rows: dict = {}
@@ -485,12 +510,12 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         )
     for h in sorted(vk.fixed_roots):
         entries = vk.fixed_layout[h]
-        points = np.stack([openings[ci].point for ci, _, _ in entries])
+        points = np.stack([openings[entries[0][0]].point])
         claims = []
         n_cols = 0
-        for k, (ci, off, ncols) in enumerate(entries):
+        for ci, off, ncols in entries:
             for j in range(ncols):
-                claims.append(Claim(k, off + j, openings[ci].fixed_evals[j]))
+                claims.append(Claim(0, off + j, openings[ci].fixed_evals[j]))
             n_cols += ncols
         basefold.verify_batch(
             vk.fixed_roots[h], h.bit_length() - 1, n_cols, points,

@@ -36,7 +36,7 @@ _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 def _whitelist():
     """name -> class map of every dataclass allowed in a proof tree."""
-    from ..gkr.chip import ChipProof
+    from ..gkr.chip import ChipProof, ChipTowerProof, ClassMainProof
     from ..gkr.tower import TowerProof
     from ..pcs.basefold import BasefoldParams, OpeningProof, QueryProof
     from .tables import ZKVMConfig
@@ -47,7 +47,8 @@ def _whitelist():
     from .shard import ShardedProof
 
     classes = [
-        ZKVMProof, ChipProof, TowerProof, OpeningProof, QueryProof,
+        ZKVMProof, ChipProof, ChipTowerProof, ClassMainProof, TowerProof,
+        OpeningProof, QueryProof,
         BasefoldParams, ZKVMConfig, Platform, EccQuarkProof, ShardedProof,
     ]
     return {c.__name__: c for c in classes}

@@ -51,6 +51,44 @@ def test_tampered_chip_proof_rejected(fib_result):
         verify(res.pk.vk, bad)
 
 
+def test_tampered_class_main_rejected(fib_result):
+    res = fib_result
+    import copy
+
+    bad = copy.deepcopy(res.proof)
+    # corrupt one round message of the largest class's batched main zerocheck
+    h = max(bad.class_main)
+    msgs = bad.class_main[h].main_msgs
+    msgs[0][0][0] = (int(msgs[0][0][0]) + 1) % 2013265921
+    with pytest.raises(Exception):
+        verify(res.pk.vk, bad)
+
+
+def test_tampered_class_eval_rejected(fib_result):
+    res = fib_result
+    import copy
+
+    bad = copy.deepcopy(res.proof)
+    # shift one chip's claimed witness-column eval in the class main proof
+    h = max(bad.class_main)
+    for we in bad.class_main[h].wit_evals:
+        if we.shape[0]:
+            we[0][0] = (int(we[0][0]) + 1) % 2013265921
+            break
+    with pytest.raises(Exception):
+        verify(res.pk.vk, bad)
+
+
+def test_one_main_point_per_class(fib_result):
+    """Class batching: every chip in a height class opens at ONE shared
+    point — the witness opening for a class carries a single main point
+    (plus EC extras only for tree chips)."""
+    res = fib_result
+    for h, op in res.proof.witness_openings.items():
+        # standalone fib: no EC-tree tokens, so exactly one point per class
+        assert op.point_evals.shape[0] == 1
+
+
 def test_memsum_proves_and_verifies():
     vm = programs.memsum_vm(5)
     res = run_e2e(vm, CFG, PARAMS)
