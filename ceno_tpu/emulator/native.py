@@ -313,7 +313,11 @@ def _run_trace_native(vm: VMState, max_steps: int):
             kind = np.where(
                 has_sys & (arr["rs1_val"] == Platform.ECALL_COMMIT),
                 KINDS.index("SYS_COMMIT"),
-                np.where(has_sys, KINDS.index("SYS_KECCAK"), kind),
+                np.where(
+                    has_sys & (arr["rs1_val"] == Platform.ECALL_SHA_EXTEND),
+                    KINDS.index("SYS_SHA_EXTEND"),
+                    np.where(has_sys, KINDS.index("SYS_KECCAK"), kind),
+                ),
             )
             nb = lib.emu_sys_count(h)
             size = nb * 50

@@ -400,6 +400,50 @@ int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
           }
         }
         vm->sys_blocks++;
+      } else if (code == 0x300105u) {
+        // SHA_EXTEND (sha256.rs:extend mirror; python in emulator/state.py)
+        // a0 = &w[i]; block order contract: [-2, -7, -15, -16, write@0]
+        auto q = read_reg(10, 1);
+        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
+        uint32_t ptr = q.first;
+        if (ptr & 3) return -2;
+        uint32_t base_w = ptr >> 2;
+        if (base_w < 16) return -2;
+        static const uint32_t offs[4] = {2, 7, 15, 16};
+        uint32_t vals[17]; // indexed by offset
+        r.sys_idx = (int32_t)vm->sys_blocks;
+        for (int j = 0; j < 4; j++) {
+          uint32_t w_ = base_w - offs[j];
+          uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+          vm->sys_addr.push_back(w_);
+          vm->sys_prev.push_back(v);
+          vm->sys_val.push_back(v);
+          vm->sys_pts.push_back(pts);
+          vm->mem_ts[w_] = ts + 3;
+          vals[offs[j]] = v;
+        }
+        auto ror = [](uint32_t v, int k) {
+          return (v >> k) | (v << (32 - k));
+        };
+        uint32_t s0 = ror(vals[15], 7) ^ ror(vals[15], 18) ^ (vals[15] >> 3);
+        uint32_t s1 = ror(vals[2], 17) ^ ror(vals[2], 19) ^ (vals[2] >> 10);
+        uint32_t neww = vals[16] + s0 + vals[7] + s1;
+        uint32_t prevw = vm->mem.count(base_w) ? vm->mem[base_w] : 0;
+        uint32_t ppts = vm->mem_ts.count(base_w) ? vm->mem_ts[base_w] : 0;
+        vm->sys_addr.push_back(base_w);
+        vm->sys_prev.push_back(prevw);
+        vm->sys_val.push_back(neww);
+        vm->sys_pts.push_back(ppts);
+        vm->mem[base_w] = neww;
+        vm->mem_ts[base_w] = ts + 3;
+        for (int j = 5; j < 50; j++) {
+          vm->sys_addr.push_back(0);
+          vm->sys_prev.push_back(0);
+          vm->sys_val.push_back(0);
+          vm->sys_pts.push_back(0);
+        }
+        vm->sys_blocks++;
       } else {
         return -2; // unsupported ecall
       }

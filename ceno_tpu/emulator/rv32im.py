@@ -22,7 +22,7 @@ KINDS = [
     "LUI", "AUIPC", "JAL", "ECALL", "INVALID",
     # pseudo-kinds: never produced by decode(); the trace re-kinds ECALL
     # steps by syscall code so each syscall routes to its own chip
-    "SYS_KECCAK", "SYS_COMMIT",
+    "SYS_KECCAK", "SYS_COMMIT", "SYS_SHA_EXTEND",
 ]
 K = {name: i for i, name in enumerate(KINDS)}
 

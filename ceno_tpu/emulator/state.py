@@ -41,6 +41,7 @@ class Platform:
     ECALL_HALT = 0
     ECALL_KECCAK = 0x01_01_09
     ECALL_COMMIT = 0x01_01_20
+    ECALL_SHA_EXTEND = 0x30_01_05
 
 
 @dataclass
@@ -309,6 +310,39 @@ class VMState:
                     self.mem_ts[waddr] = ts + SUBCYCLE_MEM
                     self.touched.add(waddr)
                     rec.sys_mem.append((waddr, words[i], out[i], prev_ts))
+            elif code == Platform.ECALL_SHA_EXTEND:
+                # sha256.rs:extend mirror: one message-schedule round.
+                # a0 = &w[i]; reads w[i-2], w[i-7], w[i-15], w[i-16]
+                # (values preserved), writes w[i]. sys_mem order is the
+                # circuit contract: [-2, -7, -15, -16, write@0].
+                rec.rs2 = read_reg(10, SUBCYCLE_RS2)  # state_ptr
+                ptr = rec.rs2[1]
+                if ptr & 3:
+                    raise RuntimeError("sha_extend state_ptr must be word-aligned")
+                base_w = ptr >> 2
+                if base_w < 16:
+                    raise RuntimeError("sha_extend pointer below w[16]")
+                rec.sys_mem = []
+                vals = {}
+                for off in (2, 7, 15, 16):
+                    waddr = base_w - off
+                    v = self.mem.get(waddr, 0)
+                    prev_ts = self.mem_ts.get(waddr, 0)
+                    self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                    self.touched.add(waddr)
+                    rec.sys_mem.append((waddr, v, v, prev_ts))
+                    vals[off] = v
+                s0 = (_ror32(vals[15], 7) ^ _ror32(vals[15], 18)
+                      ^ (vals[15] >> 3))
+                s1 = (_ror32(vals[2], 17) ^ _ror32(vals[2], 19)
+                      ^ (vals[2] >> 10))
+                new = (vals[16] + s0 + vals[7] + s1) & WORD
+                prev = self.mem.get(base_w, 0)
+                prev_ts = self.mem_ts.get(base_w, 0)
+                self.mem[base_w] = new
+                self.mem_ts[base_w] = ts + SUBCYCLE_MEM
+                self.touched.add(base_w)
+                rec.sys_mem.append((base_w, prev, new, prev_ts))
             else:
                 raise RuntimeError(f"unsupported ecall code {code:#x}")
         else:
@@ -330,6 +364,10 @@ class VMState:
                 break
             records.append(self.step())
         return records
+
+
+def _ror32(v, r):
+    return ((v >> r) | (v << (32 - r))) & WORD
 
 
 def _sext8(v):

@@ -15,12 +15,13 @@ def build_all_chips():
     if _CHIP_CACHE is None:
         from .keccak import build_keccak_core_chip, build_keccak_ecall_chip
         from .pubio import build_pubio_commit_chip
+        from .sha256 import build_sha_extend_chip
 
         _CHIP_CACHE = (
             opcodes.build_opcode_chips()
             + opcodes2.build_extended_chips()
             + opcodes3.build_mul_chips()
             + [build_keccak_ecall_chip(), build_keccak_core_chip(),
-               build_pubio_commit_chip()]
+               build_pubio_commit_chip(), build_sha_extend_chip()]
         )
     return _CHIP_CACHE

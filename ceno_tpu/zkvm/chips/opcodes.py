@@ -104,10 +104,10 @@ class TraceView:
                  cols["mem_pts"][i]) = s.mem
             if s.sys_mem is not None:
                 code = s.rs1[1] if s.rs1 else 0
-                cols["kind"][i] = (
-                    _K["SYS_COMMIT"] if code == Platform.ECALL_COMMIT
-                    else _K["SYS_KECCAK"]
-                )
+                cols["kind"][i] = {
+                    Platform.ECALL_COMMIT: _K["SYS_COMMIT"],
+                    Platform.ECALL_SHA_EXTEND: _K["SYS_SHA_EXTEND"],
+                }.get(code, _K["SYS_KECCAK"])
                 sys_idx[i] = len(sys_rows)
                 # block arrays are fixed-width 50; shorter syscalls pad
                 pad = [(0, 0, 0, 0)] * (50 - len(s.sys_mem))
