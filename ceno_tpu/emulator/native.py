@@ -310,15 +310,13 @@ def _run_trace_native(vm: VMState, max_steps: int):
         sys_idx = arr["sys_idx"].astype(np.int64)
         has_sys = sys_idx >= 0
         if has_sys.any():
-            kind = np.where(
-                has_sys & (arr["rs1_val"] == Platform.ECALL_COMMIT),
-                KINDS.index("SYS_COMMIT"),
-                np.where(
-                    has_sys & (arr["rs1_val"] == Platform.ECALL_SHA_EXTEND),
-                    KINDS.index("SYS_SHA_EXTEND"),
-                    np.where(has_sys, KINDS.index("SYS_KECCAK"), kind),
-                ),
-            )
+            from .state import SYSCALL_KIND_NAMES
+
+            kind = np.where(has_sys, KINDS.index("SYS_KECCAK"), kind)
+            for code, kname in SYSCALL_KIND_NAMES.items():
+                kind = np.where(
+                    has_sys & (arr["rs1_val"] == code), KINDS.index(kname), kind
+                )
             nb = lib.emu_sys_count(h)
             size = nb * 50
             s_addr = np.zeros(size, np.uint32)

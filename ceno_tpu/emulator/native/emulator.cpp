@@ -444,6 +444,102 @@ int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
           vm->sys_pts.push_back(0);
         }
         vm->sys_blocks++;
+      } else if (code == 0x01011du) {
+        // UINT256_MUL (uint256.rs mirror; python in emulator/state.py):
+        // a0 = &x (8 words, overwritten), a1 = &y with modulus at a1+32.
+        // a1 rides the rd record slot as a preserving write.
+        auto q = read_reg(10, 1);
+        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
+        auto a1 = read_reg(11, 2);
+        r.rd = 11; r.rd_prev = a1.first; r.rd_val = a1.first;
+        r.rd_prev_ts = a1.second;
+        uint32_t x_ptr = q.first, y_ptr = a1.first;
+        if ((x_ptr | y_ptr) & 3) return -2;
+        uint32_t xw = x_ptr >> 2, yw = y_ptr >> 2;
+        uint32_t xv[8], yv[8], mv[8];
+        for (int i = 0; i < 8; i++) {
+          uint32_t w_;
+          w_ = xw + (uint32_t)i; xv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          w_ = yw + (uint32_t)i; yv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          w_ = yw + 8 + (uint32_t)i; mv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+        }
+        // 256x256 -> 512-bit schoolbook on u32 limbs, then mod m (m=0 ->
+        // truncate to 256 bits). Division via simple base-2^32 long division.
+        uint32_t prod[16] = {0};
+        for (int i = 0; i < 8; i++) {
+          uint64_t carry = 0;
+          for (int j = 0; j < 8; j++) {
+            uint64_t cur = (uint64_t)xv[i] * yv[j] + prod[i + j] + carry;
+            prod[i + j] = (uint32_t)cur;
+            carry = cur >> 32;
+          }
+          prod[i + 8] = (uint32_t)carry;
+        }
+        uint32_t res[8] = {0};
+        bool m_zero = true;
+        for (int i = 0; i < 8; i++) if (mv[i]) m_zero = false;
+        if (m_zero) {
+          for (int i = 0; i < 8; i++) res[i] = prod[i];
+        } else {
+          // rem = prod mod m, bit-by-bit from the top (512 iterations)
+          uint32_t rem[9] = {0};
+          for (int b = 511; b >= 0; b--) {
+            uint32_t topcarry = 0;
+            for (int i = 0; i < 9; i++) {
+              uint32_t nx = (rem[i] << 1) | topcarry;
+              topcarry = rem[i] >> 31;
+              rem[i] = nx;
+            }
+            rem[0] |= (prod[b >> 5] >> (b & 31)) & 1u;
+            // if rem >= m: rem -= m (m has 8 limbs; rem 9)
+            bool ge = rem[8] != 0;
+            if (!ge) {
+              ge = true;
+              for (int i = 7; i >= 0; i--) {
+                if (rem[i] != mv[i]) { ge = rem[i] > mv[i]; break; }
+              }
+            }
+            if (ge) {
+              uint64_t borrow = 0;
+              for (int i = 0; i < 8; i++) {
+                uint64_t cur = (uint64_t)rem[i] - mv[i] - borrow;
+                rem[i] = (uint32_t)cur;
+                borrow = (cur >> 63) & 1;
+              }
+              rem[8] -= (uint32_t)borrow;
+            }
+          }
+          for (int i = 0; i < 8; i++) res[i] = rem[i];
+        }
+        r.sys_idx = (int32_t)vm->sys_blocks;
+        for (int i = 0; i < 8; i++) {  // x write ops
+          uint32_t w_ = xw + (uint32_t)i;
+          uint32_t prev = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+          vm->sys_addr.push_back(w_);
+          vm->sys_prev.push_back(prev);
+          vm->sys_val.push_back(res[i]);
+          vm->sys_pts.push_back(pts);
+          vm->mem[w_] = res[i];
+          vm->mem_ts[w_] = ts + 3;
+        }
+        for (int i = 0; i < 16; i++) {  // y then m read ops
+          uint32_t w_ = yw + (uint32_t)i;
+          uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+          vm->sys_addr.push_back(w_);
+          vm->sys_prev.push_back(v);
+          vm->sys_val.push_back(v);
+          vm->sys_pts.push_back(pts);
+          vm->mem_ts[w_] = ts + 3;
+        }
+        for (int j = 24; j < 50; j++) {
+          vm->sys_addr.push_back(0);
+          vm->sys_prev.push_back(0);
+          vm->sys_val.push_back(0);
+          vm->sys_pts.push_back(0);
+        }
+        vm->sys_blocks++;
       } else {
         return -2; // unsupported ecall
       }

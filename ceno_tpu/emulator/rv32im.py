@@ -22,7 +22,13 @@ KINDS = [
     "LUI", "AUIPC", "JAL", "ECALL", "INVALID",
     # pseudo-kinds: never produced by decode(); the trace re-kinds ECALL
     # steps by syscall code so each syscall routes to its own chip
-    "SYS_KECCAK", "SYS_COMMIT", "SYS_SHA_EXTEND",
+    "SYS_KECCAK", "SYS_COMMIT", "SYS_SHA_EXTEND", "SYS_UINT256_MUL",
+    "SYS_SECP256K1_ADD", "SYS_SECP256K1_DOUBLE", "SYS_SECP256K1_DECOMPRESS",
+    "SYS_SECP256K1_SCALAR_INVERT",
+    "SYS_SECP256R1_ADD", "SYS_SECP256R1_DOUBLE", "SYS_SECP256R1_DECOMPRESS",
+    "SYS_SECP256R1_SCALAR_INVERT",
+    "SYS_BN254_ADD", "SYS_BN254_DOUBLE", "SYS_BN254_FP_ADD",
+    "SYS_BN254_FP_MUL", "SYS_BN254_FP2_ADD", "SYS_BN254_FP2_MUL",
 ]
 K = {name: i for i, name in enumerate(KINDS)}
 

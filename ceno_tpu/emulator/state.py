@@ -42,6 +42,55 @@ class Platform:
     ECALL_KECCAK = 0x01_01_09
     ECALL_COMMIT = 0x01_01_20
     ECALL_SHA_EXTEND = 0x30_01_05
+    ECALL_UINT256_MUL = 0x01_01_1D
+    ECALL_SECP256K1_ADD = 0x01_01_0A
+    ECALL_SECP256K1_DOUBLE = 0x01_01_0B
+    ECALL_SECP256K1_DECOMPRESS = 0x01_01_0C
+    ECALL_SECP256K1_SCALAR_INVERT = 0x01_01_30
+    ECALL_SECP256R1_ADD = 0x01_01_2C
+    ECALL_SECP256R1_DOUBLE = 0x01_01_2D
+    ECALL_SECP256R1_DECOMPRESS = 0x01_01_2E
+    ECALL_SECP256R1_SCALAR_INVERT = 0x01_01_31
+    ECALL_BN254_ADD = 0x01_01_0E
+    ECALL_BN254_DOUBLE = 0x01_01_0F
+    ECALL_BN254_FP_ADD = 0x01_01_26
+    ECALL_BN254_FP_MUL = 0x01_01_28
+    ECALL_BN254_FP2_ADD = 0x01_01_29
+    ECALL_BN254_FP2_MUL = 0x01_01_2B
+
+
+# curve/fptower ecall code -> (curve, op) for the generic dispatcher
+_EC_CODES = {
+    Platform.ECALL_SECP256K1_ADD: ("secp256k1", "add"),
+    Platform.ECALL_SECP256K1_DOUBLE: ("secp256k1", "double"),
+    Platform.ECALL_SECP256K1_DECOMPRESS: ("secp256k1", "decompress"),
+    Platform.ECALL_SECP256K1_SCALAR_INVERT: ("secp256k1", "invert"),
+    Platform.ECALL_SECP256R1_ADD: ("secp256r1", "add"),
+    Platform.ECALL_SECP256R1_DOUBLE: ("secp256r1", "double"),
+    Platform.ECALL_SECP256R1_DECOMPRESS: ("secp256r1", "decompress"),
+    Platform.ECALL_SECP256R1_SCALAR_INVERT: ("secp256r1", "invert"),
+    Platform.ECALL_BN254_ADD: ("bn254", "add"),
+    Platform.ECALL_BN254_DOUBLE: ("bn254", "double"),
+    Platform.ECALL_BN254_FP_ADD: ("bn254", "fp_add"),
+    Platform.ECALL_BN254_FP_MUL: ("bn254", "fp_mul"),
+    Platform.ECALL_BN254_FP2_ADD: ("bn254", "fp2_add"),
+    Platform.ECALL_BN254_FP2_MUL: ("bn254", "fp2_mul"),
+}
+
+
+# ecall code -> pseudo-kind name (rv32im.KINDS) for trace re-kinding
+SYSCALL_KIND_NAMES = {
+    Platform.ECALL_KECCAK: "SYS_KECCAK",
+    Platform.ECALL_COMMIT: "SYS_COMMIT",
+    Platform.ECALL_SHA_EXTEND: "SYS_SHA_EXTEND",
+    Platform.ECALL_UINT256_MUL: "SYS_UINT256_MUL",
+    **{
+        code: "SYS_{}_{}".format(
+            c.upper(), "SCALAR_INVERT" if op == "invert" else op.upper()
+        )
+        for code, (c, op) in _EC_CODES.items()
+    },
+}
 
 
 @dataclass
@@ -343,6 +392,122 @@ class VMState:
                 self.mem_ts[base_w] = ts + SUBCYCLE_MEM
                 self.touched.add(base_w)
                 rec.sys_mem.append((base_w, prev, new, prev_ts))
+            elif code == Platform.ECALL_UINT256_MUL:
+                # uint256.rs mirror: a0 = &x (8 words, overwritten with the
+                # result), a1 = &y (8 words) with the modulus at a1+32.
+                # result = x*y mod m (m == 0 means mod 2^256). a1 rides the
+                # rd record slot (preserving write) since ecalls only have
+                # two rs slots. sys_mem order: x writes, y reads, m reads.
+                rec.rs2 = read_reg(10, SUBCYCLE_RS2)  # x_ptr
+                rec.rd = write_reg(11, self.regs[11], SUBCYCLE_RD)  # y_ptr
+                x_ptr, y_ptr = rec.rs2[1], rec.rd[2]
+                if (x_ptr | y_ptr) & 3:
+                    raise RuntimeError("uint256 pointers must be word-aligned")
+                xw, yw = x_ptr >> 2, y_ptr >> 2
+
+                def rd256(base):
+                    return [self.mem.get(base + i, 0) for i in range(8)]
+
+                def val(words):
+                    return sum(w << (32 * i) for i, w in enumerate(words))
+
+                x, y = val(rd256(xw)), val(rd256(yw))
+                m = val(rd256(yw + 8))
+                r = (x * y) % m if m else (x * y) & ((1 << 256) - 1)
+                rec.sys_mem = []
+                for i in range(8):  # x write ops
+                    waddr = xw + i
+                    prev = self.mem.get(waddr, 0)
+                    prev_ts = self.mem_ts.get(waddr, 0)
+                    new = (r >> (32 * i)) & WORD
+                    self.mem[waddr] = new
+                    self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                    self.touched.add(waddr)
+                    rec.sys_mem.append((waddr, prev, new, prev_ts))
+                for i in range(16):  # y then m read ops
+                    waddr = yw + i
+                    v = self.mem.get(waddr, 0)
+                    prev_ts = self.mem_ts.get(waddr, 0)
+                    self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                    self.touched.add(waddr)
+                    rec.sys_mem.append((waddr, v, v, prev_ts))
+            elif code in _EC_CODES:
+                # curve / field-tower precompiles (emulator/curves.py)
+                from . import curves as CV
+
+                curve, op = _EC_CODES[code]
+                rec.rs2 = read_reg(10, SUBCYCLE_RS2)  # a0
+                rec.sys_mem = []
+                a0v = rec.rs2[1]
+                if op != "double" and op != "invert":
+                    rec.rd = write_reg(11, self.regs[11], SUBCYCLE_RD)
+                    a1v = rec.rd[2]
+                else:
+                    a1v = 0
+                if a0v & 3 or (op in ("add", "fp_add", "fp_mul", "fp2_add",
+                                      "fp2_mul") and a1v & 3):
+                    raise RuntimeError(f"{curve}_{op}: unaligned pointer")
+
+                def peek(base_w, n):
+                    return [self.mem.get(base_w + i, 0) for i in range(n)]
+
+                def sys_read(base_w, n):
+                    for i in range(n):
+                        waddr = base_w + i
+                        v = self.mem.get(waddr, 0)
+                        prev_ts = self.mem_ts.get(waddr, 0)
+                        self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                        self.touched.add(waddr)
+                        rec.sys_mem.append((waddr, v, v, prev_ts))
+
+                def sys_write(base_w, new_words):
+                    for i, nw in enumerate(new_words):
+                        waddr = base_w + i
+                        prev = self.mem.get(waddr, 0)
+                        prev_ts = self.mem_ts.get(waddr, 0)
+                        self.mem[waddr] = nw & WORD
+                        self.mem_ts[waddr] = ts + SUBCYCLE_MEM
+                        self.touched.add(waddr)
+                        rec.sys_mem.append((waddr, prev, nw & WORD, prev_ts))
+
+                xw, yw = a0v >> 2, a1v >> 2
+                w2i, i2w = CV.words_to_int, CV.int_to_words
+                if op == "add":
+                    pw = peek(xw, 16)
+                    qw = peek(yw, 16)
+                    x3, y3 = CV.ec_add(
+                        curve, w2i(pw[:8]), w2i(pw[8:]),
+                        w2i(qw[:8]), w2i(qw[8:]),
+                    )
+                    sys_write(xw, i2w(x3) + i2w(y3))
+                    sys_read(yw, 16)
+                elif op == "double":
+                    pw = peek(xw, 16)
+                    x3, y3 = CV.ec_double(curve, w2i(pw[:8]), w2i(pw[8:]))
+                    sys_write(xw, i2w(x3) + i2w(y3))
+                elif op == "decompress":
+                    x = w2i(peek(xw, 8))
+                    y = CV.decompress_y(curve, x, a1v)
+                    sys_read(xw, 8)
+                    sys_write(xw + 8, i2w(y))
+                elif op == "invert":
+                    s = w2i(peek(xw, 8))
+                    sys_write(xw, i2w(CV.scalar_invert(curve, s)))
+                elif op in ("fp_add", "fp_mul"):
+                    x = w2i(peek(xw, 8))
+                    y = w2i(peek(yw, 8))
+                    r = CV.fp_op(curve, op[3:], x, y)
+                    sys_write(xw, i2w(r))
+                    sys_read(yw, 8)
+                else:  # fp2_add / fp2_mul
+                    xv = peek(xw, 16)
+                    yv = peek(yw, 16)
+                    r0, r1 = CV.fp2_op(
+                        curve, op[4:], w2i(xv[:8]), w2i(xv[8:]),
+                        w2i(yv[:8]), w2i(yv[8:]),
+                    )
+                    sys_write(xw, i2w(r0) + i2w(r1))
+                    sys_read(yw, 16)
             else:
                 raise RuntimeError(f"unsupported ecall code {code:#x}")
         else:

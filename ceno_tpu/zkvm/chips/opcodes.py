@@ -103,11 +103,12 @@ class TraceView:
                 (cols["mem_waddr"][i], cols["mem_prev"][i], cols["mem_val"][i],
                  cols["mem_pts"][i]) = s.mem
             if s.sys_mem is not None:
+                from ...emulator.state import SYSCALL_KIND_NAMES
+
                 code = s.rs1[1] if s.rs1 else 0
-                cols["kind"][i] = {
-                    Platform.ECALL_COMMIT: _K["SYS_COMMIT"],
-                    Platform.ECALL_SHA_EXTEND: _K["SYS_SHA_EXTEND"],
-                }.get(code, _K["SYS_KECCAK"])
+                cols["kind"][i] = _K[
+                    SYSCALL_KIND_NAMES.get(code, "SYS_KECCAK")
+                ]
                 sys_idx[i] = len(sys_rows)
                 # block arrays are fixed-width 50; shorter syscalls pad
                 pad = [(0, 0, 0, 0)] * (50 - len(s.sys_mem))
