@@ -221,10 +221,17 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
             opcode_assigned=opcode_assigned, data_image=pk.data_image,
         )
 
-    # group witness columns by height, commit per class
+    # group witness columns by height, commit per class. Chips with zero
+    # instances are skipped ENTIRELY (no commit, no tower, no main slot) —
+    # the reference does the same (prover.rs chips iterate assigned
+    # circuits only); omitting a chip whose steps executed breaks the
+    # GlobalState/RAM chain products, so skipping is sound.
+    active = [a.num_instances > 0 for a in assigned]
     by_height: dict = {}
     wit_layout: dict = {}
     for ci, a in enumerate(assigned):
+        if not active[ci]:
+            continue
         h = a.n_rows
         off = sum(m.shape[0] for m in by_height.get(h, []))
         wit_layout.setdefault(h, []).append((ci, off, a.wit.shape[0]))
@@ -242,8 +249,10 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
 
     # stage 1: per-chip records + towers (registry order, shared transcript)
-    ctxs = []
-    for a in assigned:
+    ctxs = [None] * len(assigned)
+    for ci, a in enumerate(assigned):
+        if not active[ci]:
+            continue
         n = a.n_rows
         structural = (
             np.stack([structural_table(s, n) for s in a.compiled.structural])
@@ -252,13 +261,11 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
         )
         fixed = _fixed_matrix(pk, a, n)
         with spans.span(f"chip/{a.name}"):
-            ctxs.append(
-                chiplib.prove_chip_tower(
-                    a.compiled, a.wit, fixed, structural, public_values,
-                    a.num_instances, challenges, t,
-                )
+            ctxs[ci] = chiplib.prove_chip_tower(
+                a.compiled, a.wit, fixed, structural, public_values,
+                a.num_instances, challenges, t,
             )
-    chip_proofs = [c.proof for c in ctxs]
+    chip_proofs = [c.proof if c is not None else None for c in ctxs]
 
     # stage 2: ONE batched main zerocheck per height class (ascending)
     class_main = {}
@@ -307,7 +314,9 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
             )
     fixed_openings = {}
     for h in sorted(pk.fixed_committed):
-        entries = pk.fixed_layout[h]
+        entries = [e for e in pk.fixed_layout[h] if active[e[0]]]
+        if not entries:
+            continue  # every table in this class is shard-gated off
         points = np.stack([openings[entries[0][0]].point])
         claims = []
         for ci, off, ncols in entries:
@@ -385,9 +394,11 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     if len(proof.num_instances) != len(vk.metas):
         raise ZKVMError("chip count mismatch")
 
-    # reconstruct class grouping from num_instances + chip kinds
+    # reconstruct class grouping from num_instances + chip kinds; chips
+    # with zero instances are skipped entirely (mirrors the prover)
     wit_layout: dict = {}
     heights = []
+    chip_active = []
     for ci, meta in enumerate(vk.metas):
         k = proof.num_instances[ci]
         if meta.is_table:
@@ -412,11 +423,14 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
                 )
         if standalone and meta.kind.startswith(("shard_ram", "ec_tree")) and k != 0:
             raise ZKVMError(f"{meta.name}: standalone proof cannot carry tokens")
+        chip_active.append(k > 0)
         h = chip_height(meta, k)
+        heights.append(h)
+        if k == 0:
+            continue
         n_wit = len(meta.cb.wit_names)
         off = sum(e[2] for e in wit_layout.get(h, []))
         wit_layout.setdefault(h, []).append((ci, off, n_wit))
-        heights.append(h)
     for h in sorted(wit_layout):
         if h not in proof.witness_roots:
             raise ZKVMError(f"missing witness root for height {h}")
@@ -433,6 +447,13 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     vctxs = []
     for ci, meta in enumerate(vk.metas):
         cp = proof.chip_proofs[ci]
+        if not chip_active[ci]:
+            if cp is not None:
+                raise ZKVMError(f"{meta.name}: unexpected proof for empty chip")
+            vctxs.append(None)
+            continue
+        if cp is None:
+            raise ZKVMError(f"{meta.name}: missing chip proof")
         if cp.num_instances != proof.num_instances[ci] or cp.n_vars != heights[ci].bit_length() - 1:
             raise ZKVMError(f"{meta.name}: instance count mismatch")
         vctx, prod_values, logup_fracs = chiplib.verify_chip_tower(
@@ -508,15 +529,22 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             proof.witness_roots[h], h.bit_length() - 1, n_cols, points,
             claims, proof.witness_openings[h], t, vk.params,
         )
-    for h in sorted(vk.fixed_roots):
-        entries = vk.fixed_layout[h]
+    expect_fixed = {
+        h for h in vk.fixed_roots
+        if any(chip_active[e[0]] for e in vk.fixed_layout[h])
+    }
+    if set(proof.fixed_openings) != expect_fixed:
+        raise ZKVMError("fixed opening height set mismatch")
+    for h in sorted(expect_fixed):
+        entries = [e for e in vk.fixed_layout[h] if chip_active[e[0]]]
         points = np.stack([openings[entries[0][0]].point])
         claims = []
-        n_cols = 0
+        # width of the committed class = ALL tables' columns (inactive
+        # tables stay committed; they just carry no claims this shard)
+        n_cols = sum(e[2] for e in vk.fixed_layout[h])
         for ci, off, ncols in entries:
             for j in range(ncols):
                 claims.append(Claim(0, off + j, openings[ci].fixed_evals[j]))
-            n_cols += ncols
         basefold.verify_batch(
             vk.fixed_roots[h], h.bit_length() - 1, n_cols, points,
             claims, proof.fixed_openings[h], t, vk.params,
