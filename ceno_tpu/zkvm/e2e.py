@@ -73,3 +73,77 @@ def run_e2e(
         pk = keygen(vm.program, cfg, params, data_image=data_image)
     proof = prove(pk, vm, trace, pv)
     return E2EResult(pk, proof, pv, trace.n)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed pipeline (run_e2e_with_checkpoint mirror, e2e.rs:1869-1875,
+# 2035: Checkpoint::{PrepE2EProving, PrepWitnessGen, PrepVerify, Complete})
+# ---------------------------------------------------------------------------
+
+import enum
+
+
+class Checkpoint(enum.Enum):
+    """Stop points for the staged pipeline: each stage returns a resumable
+    state so setup, emulation, witgen+prove, and verify can be timed or
+    distributed independently (the reference uses this to split keygen-time
+    work from proving services)."""
+
+    PREP_E2E_PROVING = "prep_e2e_proving"   # stop after keygen
+    PREP_WITNESS_GEN = "prep_witness_gen"   # stop after emulation
+    PREP_VERIFY = "prep_verify"             # stop after proving
+    COMPLETE = "complete"                   # prove AND verify
+
+
+@dataclass
+class CheckpointState:
+    checkpoint: Checkpoint
+    cfg: ZKVMConfig
+    params: BasefoldParams
+    vm: VMState = None
+    pk: ProvingKey = None
+    trace: object = None
+    public_values: np.ndarray = None
+    proof: ZKVMProof = None
+    verified: bool = False
+
+    def resume(self, to: "Checkpoint" = Checkpoint.COMPLETE) -> "CheckpointState":
+        return _advance(self, to)
+
+
+def run_e2e_with_checkpoint(
+    vm: VMState,
+    cfg: ZKVMConfig | None = None,
+    params: BasefoldParams | None = None,
+    checkpoint: Checkpoint = Checkpoint.COMPLETE,
+    max_steps: int = 1 << 24,
+) -> CheckpointState:
+    st = CheckpointState(
+        Checkpoint.PREP_E2E_PROVING, cfg or ZKVMConfig(),
+        params or BasefoldParams(), vm=vm,
+    )
+    st.pk = keygen(vm.program, st.cfg, st.params)
+    st._max_steps = max_steps
+    if checkpoint == Checkpoint.PREP_E2E_PROVING:
+        return st
+    return _advance(st, checkpoint)
+
+
+def _advance(st: CheckpointState, to: Checkpoint) -> CheckpointState:
+    from ..emulator import native
+
+    order = list(Checkpoint)
+    while order.index(st.checkpoint) < order.index(to):
+        cur = st.checkpoint
+        if cur == Checkpoint.PREP_E2E_PROVING:
+            st.trace = native.run_trace(st.vm, getattr(st, "_max_steps", 1 << 24))
+            assert st.vm.halted, "guest did not halt"
+            st.public_values = public_values_from_vm(st.vm, st.cfg)
+            st.checkpoint = Checkpoint.PREP_WITNESS_GEN
+        elif cur == Checkpoint.PREP_WITNESS_GEN:
+            st.proof = prove(st.pk, st.vm, st.trace, st.public_values)
+            st.checkpoint = Checkpoint.PREP_VERIFY
+        else:  # PREP_VERIFY -> COMPLETE
+            st.verified = verify(st.pk.vk, st.proof)
+            st.checkpoint = Checkpoint.COMPLETE
+    return st

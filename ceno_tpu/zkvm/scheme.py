@@ -204,7 +204,11 @@ def _ec_extended_points(rt: np.ndarray):
 
 
 def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
-          shard_ctx=None, opcode_assigned=None) -> ZKVMProof:
+          shard_ctx=None, opcode_assigned=None, assigned=None) -> ZKVMProof:
+    """Prove one shard. ``assigned`` short-circuits witgen with a
+    pre-generated witness (the P4 host/device pipeline overlaps the next
+    shard's witgen with this shard's device proving, e2e.rs:2266-2406
+    mirror — see shard.prove_shards)."""
     if len(public_values) != N_PUBLIC_VALUES:
         raise ZKVMError("bad public value count")
     from ..utils import spans
@@ -213,13 +217,14 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
     t.append(pk.vk.digest_elems())
     t.append(np.asarray(public_values, np.uint64))
 
-    with spans.span("witgen"):
-        assigned = generate_witness(
-            records, pk.opcode_chips, pk.tables, vm, public_values, pk.cfg,
-            shard_ctx=shard_ctx, shard_chips=pk.shard_chips,
-            dyn_chips=pk.dyn_chips,
-            opcode_assigned=opcode_assigned, data_image=pk.data_image,
-        )
+    if assigned is None:
+        with spans.span("witgen"):
+            assigned = generate_witness(
+                records, pk.opcode_chips, pk.tables, vm, public_values,
+                pk.cfg, shard_ctx=shard_ctx, shard_chips=pk.shard_chips,
+                dyn_chips=pk.dyn_chips,
+                opcode_assigned=opcode_assigned, data_image=pk.data_image,
+            )
 
     # group witness columns by height, commit per class. Chips with zero
     # instances are skipped ENTIRELY (no commit, no tower, no main slot) —

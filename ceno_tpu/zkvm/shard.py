@@ -319,16 +319,59 @@ def plan_shards(
 
 
 def prove_shards(pk, vm, records, max_steps_per_shard: int | None = None,
-                 max_cells_per_shard: int | None = None) -> ShardedProof:
+                 max_cells_per_shard: int | None = None,
+                 pipeline: bool = True) -> ShardedProof:
+    """Prove every shard. With ``pipeline`` (default), shard N+1's witness
+    generation runs on a host thread while shard N proves on the device —
+    the P4 host<->device pipeline (e2e.rs:2266-2406 rendezvous-channel
+    mirror; bounded queue keeps at most 2 witnesses in flight). Proofs are
+    byte-identical to the sequential path: witgen has no transcript
+    interaction, so overlap cannot reorder any absorb/sample."""
     view = records if isinstance(records, TraceView) else TraceView.from_records(records)
     ctxs = plan_shards(view, vm, pk, pk.cfg, max_steps_per_shard,
                        max_cells_per_shard)
-    proofs = []
-    for ctx in ctxs:
-        proof = scheme.prove(
-            pk, vm, None, ctx.pv, shard_ctx=ctx, opcode_assigned=ctx.opcode_assigned
+    from .witgen import generate_witness
+
+    def witgen(ctx):
+        return generate_witness(
+            None, pk.opcode_chips, pk.tables, vm, ctx.pv, pk.cfg,
+            shard_ctx=ctx, shard_chips=pk.shard_chips,
+            dyn_chips=pk.dyn_chips, opcode_assigned=ctx.opcode_assigned,
+            data_image=pk.data_image,
         )
-        proofs.append(proof)
+
+    proofs = []
+    if pipeline and len(ctxs) > 1:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def producer():
+            try:
+                for ctx in ctxs:
+                    q.put((ctx, witgen(ctx), None))
+            except BaseException as e:  # surface witgen errors in the consumer
+                q.put((None, None, e))
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        for _ in ctxs:
+            ctx, assigned, err = q.get()
+            if err is not None:
+                th.join()
+                raise err
+            proofs.append(
+                scheme.prove(pk, vm, None, ctx.pv, shard_ctx=ctx,
+                             assigned=assigned)
+            )
+        th.join()
+    else:
+        for ctx in ctxs:
+            proofs.append(
+                scheme.prove(pk, vm, None, ctx.pv, shard_ctx=ctx,
+                             opcode_assigned=ctx.opcode_assigned)
+            )
     return ShardedProof(proofs)
 
 

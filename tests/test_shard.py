@@ -184,3 +184,19 @@ def test_sharded_keccak_guest_proves():
     sproof = prove_shards(pk, vm, records, max_cells_per_shard=20000)
     assert sproof.n_shards >= 2
     assert verify_shards(pk.vk, sproof)
+
+
+def test_pipelined_matches_sequential(sharded_result):
+    """P4 pipeline (witgen thread overlapping device prove) is transcript-
+    neutral: proofs are identical to the sequential path."""
+    pk, sproof = sharded_result
+    vm = programs.fibonacci_vm(12)
+    records = vm.run()
+    seq = prove_shards(pk, vm, records, 40, pipeline=False)
+    assert seq.n_shards == sproof.n_shards
+    from ceno_tpu.zkvm.serialize import proof_to_bytes
+
+    for a, b in zip(sproof.proofs, seq.proofs):
+        ba = proof_to_bytes(a, a.public_values, CFG, PARAMS)
+        bb_ = proof_to_bytes(b, b.public_values, CFG, PARAMS)
+        assert ba == bb_

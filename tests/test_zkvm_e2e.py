@@ -42,7 +42,7 @@ def test_tampered_chip_proof_rejected(fib_result):
     bad = copy.deepcopy(res.proof)
     # corrupt a tower out eval of the first chip with instances
     for cp in bad.chip_proofs:
-        if cp.tower_proof.prod_out.shape[0]:
+        if cp is not None and cp.tower_proof.prod_out.shape[0]:
             cp.tower_proof.prod_out[0][0][0] = (
                 int(cp.tower_proof.prod_out[0][0][0]) + 1
             ) % 2013265921
@@ -134,3 +134,20 @@ def test_example_guests_prove():
         res = run_e2e(vm, CFG, PARAMS)
         assert int(res.public_values[4]) == prime, n
         assert verify(res.pk.vk, res.proof)
+
+
+def test_checkpointed_pipeline():
+    """Checkpoint staging (run_e2e_with_checkpoint mirror): stop after
+    keygen, resume through emulation, proving, and verification."""
+    from ceno_tpu.zkvm.e2e import Checkpoint, run_e2e_with_checkpoint
+
+    vm = programs.fibonacci_vm(8)
+    st = run_e2e_with_checkpoint(vm, CFG, PARAMS,
+                                 checkpoint=Checkpoint.PREP_E2E_PROVING)
+    assert st.pk is not None and st.trace is None
+    st = st.resume(Checkpoint.PREP_WITNESS_GEN)
+    assert st.trace is not None and st.proof is None
+    st = st.resume(Checkpoint.PREP_VERIFY)
+    assert st.proof is not None and not st.verified
+    st = st.resume()
+    assert st.verified
