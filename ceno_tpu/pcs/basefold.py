@@ -64,6 +64,10 @@ class BasefoldParams:
     blowup_log: int = 3
     n_queries: int = 34   # ~100-bit conjectured security at rate 1/8
     stop_size: int = 256  # codeword sent in clear below this
+    # PcsKind mirror (e2e.rs:103-129; reference default is Jagged<Basefold>):
+    # True = ONE stacked commitment + translation sumcheck per shard
+    # (pcs/jagged.py); False = one commitment per height class.
+    jagged: bool = True
 
     @property
     def blowup(self) -> int:

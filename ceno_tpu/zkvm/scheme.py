@@ -38,7 +38,7 @@ from ..hash.transcript import Transcript
 from ..gkr import chip as chiplib
 from ..gkr import eccquark
 from ..gkr.chip import structural_table
-from ..pcs import basefold
+from ..pcs import basefold, jagged
 from ..pcs.basefold import BasefoldParams, Claim
 from .chips import build_all_chips
 from .chips.dyn_ram import build_dyn_ram_chips
@@ -50,7 +50,7 @@ from .layout import (
     PV_HEAP_WORDS, PV_STACK_WORDS,
 )
 
-LABEL = b"ceno-tpu/zkvm/v5"
+LABEL = b"ceno-tpu/zkvm/v6"
 
 
 def _dev(x: np.ndarray):
@@ -173,8 +173,20 @@ def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
         ), fx.shape[0]))
         by_height.setdefault(h, []).append(fx)
     committed = {}
-    for h, mats in by_height.items():
-        committed[h] = basefold.commit(_dev(np.concatenate(mats, axis=0)), params)
+    if params.jagged:
+        # ONE stacked fixed commitment (Jagged<Basefold> role)
+        jl = jagged.plan_layout([(h, sum(m.shape[0] for m in by_height[h]))
+                                 for h in sorted(by_height)])
+        mat = jagged.stack_matrix(
+            jl, [(h, np.concatenate(by_height[h], axis=0))
+                 for h in sorted(by_height)]
+        )
+        committed[jl.n_r] = basefold.commit(_dev(mat), params)
+    else:
+        for h, mats in by_height.items():
+            committed[h] = basefold.commit(
+                _dev(np.concatenate(mats, axis=0)), params
+            )
     return ProvingKey(
         metas, tables, opcode_chips, shard_chips, dyn_chips, cfg, params,
         committed, layout, program_words, data_image,
@@ -191,6 +203,45 @@ _EC_POINTS = (
     ("odd", ((21, 0), (28, 7))),          # [1]++rt
     ("hi", ((35, 0), (42, 7), (0, 14))),  # rt++[1]: x, y, s
 )
+
+
+def _jagged_plan(layout_by_h: dict):
+    """Jagged stacking plan + slice index base per chip from a height-class
+    layout dict (h -> [(ci, col_off, n_cols)], ascending h processed)."""
+    class_cols = [
+        (h, sum(e[2] for e in layout_by_h[h])) for h in sorted(layout_by_h)
+    ]
+    jl = jagged.plan_layout(class_cols)
+    slice_base = {}
+    s = 0
+    for h in sorted(layout_by_h):
+        for ci, off, ncols in layout_by_h[h]:
+            slice_base[ci] = s + off
+        s += sum(e[2] for e in layout_by_h[h])
+    return jl, slice_base
+
+
+def _jagged_claims(layout_by_h: dict, slice_base: dict, openings,
+                   extra_rows: dict, *, fixed: bool = False):
+    """Canonical claim order for a jagged opening: per class ascending, per
+    entry, per column the main class-point claim; then EC extra points."""
+    claims = []
+    for h in sorted(layout_by_h):
+        for ci, off, ncols in layout_by_h[h]:
+            evals = openings[ci].fixed_evals if fixed else openings[ci].wit_evals
+            for j in range(ncols):
+                claims.append(jagged.JaggedClaim(
+                    slice_base[ci] + j, openings[ci].point, evals[j]
+                ))
+    if not fixed:
+        for h in sorted(layout_by_h):
+            for ci, off, ncols in layout_by_h[h]:
+                for point, cols in extra_rows.get(ci, []):
+                    for col_j, val in cols:
+                        claims.append(jagged.JaggedClaim(
+                            slice_base[ci] + col_j, point, val
+                        ))
+    return claims
 
 
 def _ec_extended_points(rt: np.ndarray):
@@ -242,12 +293,22 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
         wit_layout.setdefault(h, []).append((ci, off, a.wit.shape[0]))
         by_height.setdefault(h, []).append(a.wit)
     wit_committed = {}
-    for h in sorted(by_height):
-        with spans.span(f"commit/2^{h.bit_length() - 1}"):
-            wit_committed[h] = basefold.commit(
-                _dev(np.concatenate(by_height[h], axis=0)), pk.params
-            )
-        t.append(wit_committed[h].root)
+    if pk.params.jagged:
+        jl_w, wslice = _jagged_plan(wit_layout)
+        mat = jagged.stack_matrix(
+            jl_w, [(h, np.concatenate(by_height[h], axis=0))
+                   for h in sorted(by_height)]
+        )
+        with spans.span(f"commit/jagged-2^{jl_w.n_r.bit_length() - 1}"):
+            wit_committed[jl_w.n_r] = basefold.commit(_dev(mat), pk.params)
+        t.append(wit_committed[jl_w.n_r].root)
+    else:
+        for h in sorted(by_height):
+            with spans.span(f"commit/2^{h.bit_length() - 1}"):
+                wit_committed[h] = basefold.commit(
+                    _dev(np.concatenate(by_height[h], axis=0)), pk.params
+                )
+            t.append(wit_committed[h].root)
     for a in assigned:
         t.append([a.num_instances % bb.P])
 
@@ -309,27 +370,47 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
             rows.append((pts[pname], cols))
         extra_rows[ci] = rows
 
-    # PCS openings: witness classes then fixed classes (ascending height)
+    # PCS openings: witness then fixed
     witness_openings = {}
-    for h in sorted(wit_committed):
-        points, claims = _class_claims(wit_layout[h], openings, extra_rows)
-        with spans.span(f"open/2^{h.bit_length() - 1}"):
-            witness_openings[h] = basefold.open_batch(
-                wit_committed[h], points, claims, t, pk.params
-            )
     fixed_openings = {}
-    for h in sorted(pk.fixed_committed):
-        entries = [e for e in pk.fixed_layout[h] if active[e[0]]]
-        if not entries:
-            continue  # every table in this class is shard-gated off
-        points = np.stack([openings[entries[0][0]].point])
-        claims = []
-        for ci, off, ncols in entries:
-            for j in range(ncols):
-                claims.append(Claim(0, off + j, openings[ci].fixed_evals[j]))
-        fixed_openings[h] = basefold.open_batch(
-            pk.fixed_committed[h], points, claims, t, pk.params
+    if pk.params.jagged:
+        claims = _jagged_claims(wit_layout, wslice, openings, extra_rows)
+        with spans.span("open/jagged-wit"):
+            witness_openings[jl_w.n_r] = jagged.open_jagged(
+                wit_committed[jl_w.n_r], jl_w, claims, t, pk.params
+            )
+        active_fixed = {
+            h: [e for e in pk.fixed_layout[h] if active[e[0]]]
+            for h in pk.fixed_layout
+        }
+        jl_f, fslice = _jagged_plan(pk.fixed_layout)
+        fclaims = _jagged_claims(
+            {h: es for h, es in active_fixed.items() if es},
+            fslice, openings, {}, fixed=True,
         )
+        with spans.span("open/jagged-fixed"):
+            fixed_openings[jl_f.n_r] = jagged.open_jagged(
+                pk.fixed_committed[jl_f.n_r], jl_f, fclaims, t, pk.params
+            )
+    else:
+        for h in sorted(wit_committed):
+            points, claims = _class_claims(wit_layout[h], openings, extra_rows)
+            with spans.span(f"open/2^{h.bit_length() - 1}"):
+                witness_openings[h] = basefold.open_batch(
+                    wit_committed[h], points, claims, t, pk.params
+                )
+        for h in sorted(pk.fixed_committed):
+            entries = [e for e in pk.fixed_layout[h] if active[e[0]]]
+            if not entries:
+                continue  # every table in this class is shard-gated off
+            points = np.stack([openings[entries[0][0]].point])
+            claims = []
+            for ci, off, ncols in entries:
+                for j in range(ncols):
+                    claims.append(Claim(0, off + j, openings[ci].fixed_evals[j]))
+            fixed_openings[h] = basefold.open_batch(
+                pk.fixed_committed[h], points, claims, t, pk.params
+            )
 
     return ZKVMProof(
         pv,
@@ -436,10 +517,16 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         n_wit = len(meta.cb.wit_names)
         off = sum(e[2] for e in wit_layout.get(h, []))
         wit_layout.setdefault(h, []).append((ci, off, n_wit))
-    for h in sorted(wit_layout):
-        if h not in proof.witness_roots:
-            raise ZKVMError(f"missing witness root for height {h}")
-        t.append(proof.witness_roots[h])
+    if vk.params.jagged:
+        jl_w, wslice = _jagged_plan(wit_layout)
+        if set(proof.witness_roots) != {jl_w.n_r}:
+            raise ZKVMError("jagged proof must carry exactly one witness root")
+        t.append(proof.witness_roots[jl_w.n_r])
+    else:
+        for h in sorted(wit_layout):
+            if h not in proof.witness_roots:
+                raise ZKVMError(f"missing witness root for height {h}")
+            t.append(proof.witness_roots[h])
     for ci in range(len(vk.metas)):
         t.append([proof.num_instances[ci] % bb.P])
 
@@ -526,6 +613,30 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     if not logup_den.any():
         raise ZKVMError("logup denominator vanished")
 
+    if vk.params.jagged:
+        if set(proof.witness_openings) != {jl_w.n_r}:
+            raise ZKVMError("jagged proof must carry exactly one witness opening")
+        claims = _jagged_claims(wit_layout, wslice, openings, extra_rows)
+        jagged.verify_jagged(
+            proof.witness_roots[jl_w.n_r], jl_w, claims,
+            proof.witness_openings[jl_w.n_r], t, vk.params,
+        )
+        jl_f, fslice = _jagged_plan(vk.fixed_layout)
+        if set(proof.fixed_openings) != {jl_f.n_r} or set(vk.fixed_roots) != {jl_f.n_r}:
+            raise ZKVMError("jagged proof must carry exactly one fixed opening")
+        active_fixed = {
+            h: [e for e in vk.fixed_layout[h] if chip_active[e[0]]]
+            for h in vk.fixed_layout
+        }
+        fclaims = _jagged_claims(
+            {h: es for h, es in active_fixed.items() if es},
+            fslice, openings, {}, fixed=True,
+        )
+        jagged.verify_jagged(
+            vk.fixed_roots[jl_f.n_r], jl_f, fclaims,
+            proof.fixed_openings[jl_f.n_r], t, vk.params,
+        )
+        return True
     for h in sorted(wit_layout):
         entries = wit_layout[h]
         points, claims = _class_claims(entries, openings, extra_rows)

@@ -39,6 +39,7 @@ def _whitelist():
     from ..gkr.chip import ChipProof, ChipTowerProof, ClassMainProof
     from ..gkr.tower import TowerProof
     from ..pcs.basefold import BasefoldParams, OpeningProof, QueryProof
+    from ..pcs.jagged import JaggedOpening
     from .tables import ZKVMConfig
     from ..emulator.state import Platform
     from .scheme import ZKVMProof
@@ -48,7 +49,7 @@ def _whitelist():
 
     classes = [
         ZKVMProof, ChipProof, ChipTowerProof, ClassMainProof, TowerProof,
-        OpeningProof, QueryProof,
+        OpeningProof, QueryProof, JaggedOpening,
         BasefoldParams, ZKVMConfig, Platform, EccQuarkProof, ShardedProof,
     ]
     return {c.__name__: c for c in classes}

@@ -79,13 +79,26 @@ def test_tampered_class_eval_rejected(fib_result):
         verify(res.pk.vk, bad)
 
 
-def test_one_main_point_per_class(fib_result):
-    """Class batching: every chip in a height class opens at ONE shared
-    point — the witness opening for a class carries a single main point
-    (plus EC extras only for tree chips)."""
+def test_jagged_single_commitment(fib_result):
+    """Jagged PCS (the default): ONE witness commitment/opening for the
+    whole shard, opened at a single point."""
     res = fib_result
+    assert len(res.proof.witness_roots) == 1
+    assert len(res.proof.witness_openings) == 1
+    (op,) = res.proof.witness_openings.values()
+    assert op.opening.point_evals.shape[0] == 1
+
+
+def test_class_pcs_mode_still_works():
+    """PcsKind::Basefold analog: per-height-class commitments, one main
+    point per class."""
+    params = BasefoldParams(blowup_log=1, n_queries=4, stop_size=32,
+                            jagged=False)
+    vm = programs.fibonacci_vm(8)
+    res = run_e2e(vm, CFG, params)
+    assert verify(res.pk.vk, res.proof)
+    assert len(res.proof.witness_roots) > 1
     for h, op in res.proof.witness_openings.items():
-        # standalone fib: no EC-tree tokens, so exactly one point per class
         assert op.point_evals.shape[0] == 1
 
 
