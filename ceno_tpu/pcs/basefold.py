@@ -245,6 +245,8 @@ def open_batch(
     n_cols = committed.cols.shape[0]
     k = points.shape[0]
 
+    from ..utils import spans
+
     gamma = np.array(transcript.sample_ext(), np.uint64)
     w, _ = _claim_weights(claims, k, n_cols, gamma)
     on_host = isinstance(committed.cols, np.ndarray)
@@ -302,12 +304,14 @@ def open_batch(
         if fold_state["u_host"] is None and (1 << cur_log) > 4 * H.HOST_N:
             if needs_tree:
                 # fused fold + Merkle: one device call per committed level
-                nu, leaves, levels = fold_codewords_and_tree(
-                    fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
-                    jnp.asarray(bb.np_to_monty(invw)),
-                )
-                fold_state["u"] = nu
-                tree = MerkleTree.from_device(leaves, levels)
+                with spans.span(f"fold-tree/2^{cur_log}"):
+                    nu, leaves, levels = fold_codewords_and_tree(
+                        fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
+                        jnp.asarray(bb.np_to_monty(invw)),
+                    )
+                    fold_state["u"] = nu
+                    with spans.span("tree-fetch"):
+                        tree = MerkleTree.from_device(leaves, levels)
                 fold_state["dev_levels"].append(nu)
                 fold_state["host_levels"].append(None)
                 fold_state["trees"].append(tree)
@@ -342,7 +346,10 @@ def open_batch(
             fold_state["trees"].append(tree)
             transcript.append(tree.root)
 
-    out = sc_prover.prove([], ext_cols, term_list, n_vars, transcript, round_hook=hook)
+    with spans.span("open-sumcheck+folds"):
+        out = sc_prover.prove(
+            [], ext_cols, term_list, n_vars, transcript, round_hook=hook
+        )
     point_evals = out.final_ext[k : 2 * k]
     transcript.append(point_evals.ravel())
 
@@ -379,29 +386,33 @@ def open_batch(
             vals = fold_state["host_levels"][t][:, pair_idx, :].transpose(1, 0, 2)
         level_rows.append(vals)
 
+    # batched path extraction: ONE gather per tree covers every query
+    with spans.span("query-paths"):
+        base_idx = []
+        for i in idxs:
+            base_idx += [i, i + m // 2]
+        base_paths_all = committed.tree.open_paths(base_idx)  # (2Q, d, 8)
+        tree_paths = []
+        for t_ in range(n_committed):
+            mt = m >> (t_ + 1)
+            tidx = []
+            for i in idxs:
+                p = i % (mt // 2)
+                tidx += [p, p + mt // 2]
+            tree_paths.append(fold_state["trees"][t_].open_paths(tidx))
     queries = []
     for qi, i in enumerate(idxs):
-        bp = np.stack(
-            [
-                committed.tree.open_path(i),
-                committed.tree.open_path(i + m // 2),
-            ]
-        )
-        u_rows, u_paths = [], []
-        for t in range(n_committed):
-            mt = m >> (t + 1)
-            p = i % (mt // 2)
-            u_rows.append(level_rows[t][2 * qi : 2 * qi + 2])
-            u_paths.append(
-                np.stack(
-                    [
-                        fold_state["trees"][t].open_path(p),
-                        fold_state["trees"][t].open_path(p + mt // 2),
-                    ]
-                )
-            )
+        u_rows = [
+            level_rows[t_][2 * qi : 2 * qi + 2] for t_ in range(n_committed)
+        ]
+        u_paths = [
+            tree_paths[t_][2 * qi : 2 * qi + 2] for t_ in range(n_committed)
+        ]
         queries.append(
-            QueryProof(i, base_rows[:, 2 * qi : 2 * qi + 2], bp, u_rows, u_paths)
+            QueryProof(
+                i, base_rows[:, 2 * qi : 2 * qi + 2],
+                base_paths_all[2 * qi : 2 * qi + 2], u_rows, u_paths,
+            )
         )
 
     return OpeningProof(

@@ -75,20 +75,34 @@ def host_build_levels(leaves: np.ndarray) -> list:
     return levels
 
 
+@jax.jit
+def _root_slice(level):
+    return level[:, 0]
+
+
 @dataclass
 class MerkleTree:
-    """Digest data for one committed matrix. ``levels`` are host canonical."""
+    """Digest data for one committed matrix.
 
-    leaf_digests: np.ndarray  # (8, M) canonical
-    levels: list              # [(8, M/2), ..., (8, 1)] canonical
+    Host trees keep canonical digest levels; DEVICE trees are LAZY: only
+    the root crosses the tunnel at build time, the digest levels stay on
+    device, and query paths are extracted with ONE batched gather over a
+    flattened digest array (a full-tree fetch costs seconds of tunnel
+    transfer per commitment; the paths actually needed are a few KB)."""
+
+    leaf_digests: np.ndarray  # (8, M) canonical, None for lazy device trees
+    levels: list              # [(8, M/2), ..., (8, 1)] canonical, or None
     root: np.ndarray          # (8,) canonical
+    dev_leaves: object = None
+    dev_levels: tuple = None
+    _flat: object = None      # lazily-built (8, total) device concat
+    _offs: list = None
 
     @staticmethod
     def from_device(leaves_dev, levels_dev) -> "MerkleTree":
-        leaves = bb.np_from_monty(np.asarray(leaves_dev)).astype(np.uint64)
-        levels = [bb.np_from_monty(np.asarray(l)).astype(np.uint64) for l in levels_dev]
-        root = levels[-1][:, 0] if levels else leaves[:, 0]
-        return MerkleTree(leaves, levels, root)
+        root_dev = _root_slice(levels_dev[-1] if levels_dev else leaves_dev)
+        root = bb.np_from_monty(np.asarray(root_dev)).astype(np.uint64)
+        return MerkleTree(None, None, root, leaves_dev, tuple(levels_dev))
 
     @staticmethod
     def build_host(cols_canonical: np.ndarray) -> "MerkleTree":
@@ -99,14 +113,44 @@ class MerkleTree:
 
     def open_path(self, index: int) -> np.ndarray:
         """Sibling digests bottom-up: (depth, 8) canonical."""
-        depth = len(self.levels) + 0
-        sibs = []
-        arrs = [self.leaf_digests] + self.levels[:-1] if self.levels else [self.leaf_digests]
-        idx = index
-        for arr in arrs:
-            sibs.append(arr[:, idx ^ 1].copy())
-            idx >>= 1
-        return np.stack(sibs) if sibs else np.zeros((0, 8), np.uint64)
+        return self.open_paths([index])[0]
+
+    def open_paths(self, indices) -> np.ndarray:
+        """Batched sibling extraction: (Q, depth, 8) canonical."""
+        if self.leaf_digests is not None:
+            out = []
+            arrs = (
+                [self.leaf_digests] + self.levels[:-1]
+                if self.levels else [self.leaf_digests]
+            )
+            for index in indices:
+                sibs = []
+                idx = index
+                for arr in arrs:
+                    sibs.append(arr[:, idx ^ 1].copy())
+                    idx >>= 1
+                out.append(np.stack(sibs) if sibs else np.zeros((0, 8), np.uint64))
+            return np.stack(out)
+        arrs = [self.dev_leaves] + list(self.dev_levels[:-1]) \
+            if self.dev_levels else [self.dev_leaves]
+        if self._flat is None:
+            offs = []
+            off = 0
+            for a in arrs:
+                offs.append(off)
+                off += a.shape[1]
+            self._flat = jnp.concatenate(arrs, axis=1)
+            self._offs = offs
+        flat_idx = []
+        for index in indices:
+            idx = index
+            for off in self._offs:
+                flat_idx.append(off + (idx ^ 1))
+                idx >>= 1
+        vals = gather_rows(self._flat, jnp.asarray(flat_idx, jnp.int32))
+        vals = bb.np_from_monty(np.asarray(vals)).astype(np.uint64)  # (8, Q*d)
+        depth = len(self._offs)
+        return vals.T.reshape(len(indices), depth, 8)
 
 
 def verify_paths(
