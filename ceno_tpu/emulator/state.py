@@ -36,6 +36,14 @@ class Platform:
     hints_start: int = 0x2800_0000
     stack_start: int = 0x3000_0000
     stack_top: int = 0x4000_0000
+    # guest println region (ceno_rt INFO_OUT_ADDR role): length-prefixed
+    # byte messages written with plain stores, read back by the host. The
+    # reference parks it at 0x4000_0000; here it sits right above the heap
+    # (whose reference extent is 0x1000_0000..0x2000_0000, platform.rs:90)
+    # because this framework's u16+u12 address decomposition needs word
+    # addresses < 2^28, i.e. byte addresses < 0x4000_0000.
+    info_start: int = 0x2000_0000
+    info_end: int = 0x2800_0000
 
     # ecall codes (mirror ceno_emul syscalls.rs)
     ECALL_HALT = 0

@@ -49,6 +49,10 @@ class DynRamDef:
 def _region_geometry(cfg, region: str):
     if region == "heap":
         return cfg.platform.heap_start >> 2, 1, PV_HEAP_WORDS
+    if region == "info":
+        from ..layout import PV_INFO_WORDS
+
+        return cfg.platform.info_start >> 2, 1, PV_INFO_WORDS
     return (cfg.platform.stack_top >> 2) - 1, -1, PV_STACK_WORDS
 
 
@@ -81,14 +85,17 @@ def build_dyn_ram_chips(cfg) -> list:
         _build(cfg, "heap", "final"),
         _build(cfg, "stack", "init"),
         _build(cfg, "stack", "final"),
+        _build(cfg, "info", "init"),
+        _build(cfg, "info", "final"),
     ]
 
 
 def dyn_regions(cfg) -> list:
     """[(low_word, high_word_exclusive, region)] covered dynamically."""
     return [
-        (cfg.platform.heap_start >> 2, cfg.platform.hints_start >> 2, "heap"),
+        (cfg.platform.heap_start >> 2, cfg.platform.info_start >> 2, "heap"),
         (cfg.platform.stack_start >> 2, cfg.platform.stack_top >> 2, "stack"),
+        (cfg.platform.info_start >> 2, cfg.platform.info_end >> 2, "info"),
     ]
 
 
@@ -100,10 +107,10 @@ def dyn_region_words(vm, cfg) -> dict:
         used = [w for w in words if low <= w < high]
         if not used:
             out[region] = 0
-        elif region == "heap":
-            out[region] = max(used) - low + 1
-        else:
+        elif region == "stack":
             out[region] = high - min(used)
+        else:  # heap/info grow upward
+            out[region] = max(used) - low + 1
     return out
 
 

@@ -15,6 +15,7 @@ from ..emulator.state import VMState, CYCLE_START
 from .layout import (
     PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
     PV_EXIT_CODE_LO, PV_EXIT_CODE_HI, PV_HEAP_WORDS, PV_STACK_WORDS,
+    PV_INFO_WORDS,
     PV_PUBIO_DIGEST,
     N_PUBLIC_VALUES,
 )
@@ -37,6 +38,7 @@ def public_values_from_vm(vm: VMState, cfg: ZKVMConfig | None = None) -> np.ndar
     lens = dyn_region_words(vm, cfg)
     pv[PV_HEAP_WORDS] = lens["heap"]
     pv[PV_STACK_WORDS] = lens["stack"]
+    pv[PV_INFO_WORDS] = lens["info"]
     digest = vm.pubio_digest
     if digest is None:
         from ..emulator.keccak import KECCAK_EMPTY_WORDS

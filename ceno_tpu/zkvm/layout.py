@@ -22,6 +22,7 @@ PV_HEAP_WORDS = 35   # dynamic heap length (dyn_heap init/final instance count)
 PV_STACK_WORDS = 36  # dynamic stack length (words below stack_top)
 PV_PUBIO_DIGEST = 37  # 16 slots: u16 limbs (lo, hi per word) of the 8-word
 # PUB_IO_COMMIT Keccak-256 digest (e2e.rs:71-85, precompiles/pubio_commit.rs)
-N_PUBLIC_VALUES = 53
+PV_INFO_WORDS = 53   # dynamic info-out (guest println) region length
+N_PUBLIC_VALUES = 54
 
 TS_MAX_BITS = 28  # cur_ts - prev_ts - 1 decomposes into u16 + u12

@@ -47,7 +47,7 @@ from .tables import build_tables, ZKVMConfig
 from .witgen import generate_witness, AssignedChip
 from .layout import (
     N_PUBLIC_VALUES, PV_SHARD_ID, PV_RW_SUM_IN, PV_RW_SUM_OUT,
-    PV_HEAP_WORDS, PV_STACK_WORDS,
+    PV_HEAP_WORDS, PV_STACK_WORDS, PV_INFO_WORDS,
 )
 
 LABEL = b"ceno-tpu/zkvm/v6"
@@ -501,7 +501,11 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             active = (meta.gate == "first" and is_first) or (
                 meta.gate == "last" and is_last
             )
-            slot = PV_HEAP_WORDS if "heap" in meta.name else PV_STACK_WORDS
+            slot = (
+                PV_HEAP_WORDS if "heap" in meta.name
+                else PV_INFO_WORDS if "info" in meta.name
+                else PV_STACK_WORDS
+            )
             expect = int(pv[slot]) if active else 0
             if k != expect:
                 raise ZKVMError(

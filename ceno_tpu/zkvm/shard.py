@@ -39,7 +39,7 @@ from .chips.shard_ram import Tokens, tokens_to_points
 from .layout import (
     N_PUBLIC_VALUES, PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
     PV_EXIT_CODE_LO, PV_EXIT_CODE_HI, PV_SHARD_ID, PV_RW_SUM_IN, PV_RW_SUM_OUT,
-    PV_HEAP_WORDS, PV_STACK_WORDS, PV_PUBIO_DIGEST,
+    PV_HEAP_WORDS, PV_STACK_WORDS, PV_INFO_WORDS, PV_PUBIO_DIGEST,
 )
 from .tables import ZKVMConfig, memory_windows
 from .witgen import assign_opcode_chips, _MOCK_CHAL
@@ -211,12 +211,15 @@ def plan_shards(
 
     dyn_lens = dyn_region_words(vm, cfg)
     heap_base = cfg.platform.heap_start >> 2
+    info_base = cfg.platform.info_start >> 2
     stack_top = cfg.platform.stack_top >> 2
     for region, k in dyn_lens.items():
         if not k:
             continue
         if region == "heap":
             addrs = np.arange(heap_base, heap_base + k, dtype=np.uint64)
+        elif region == "info":
+            addrs = np.arange(info_base, info_base + k, dtype=np.uint64)
         else:
             addrs = np.arange(stack_top - k, stack_top, dtype=np.uint64)
         ev["is_reg"].append(np.zeros(k, np.uint64))
@@ -296,6 +299,7 @@ def plan_shards(
         pv[PV_SHARD_ID] = s
         pv[PV_HEAP_WORDS] = dyn_lens["heap"]
         pv[PV_STACK_WORDS] = dyn_lens["stack"]
+        pv[PV_INFO_WORDS] = dyn_lens["info"]
         digest = vm.pubio_digest
         if digest is None:
             from ..emulator.keccak import KECCAK_EMPTY_WORDS
@@ -396,8 +400,10 @@ def verify_shards(vk, sproof: ShardedProof, expect_halt: bool = True) -> bool:
                 raise ShardChainError(f"shard {s}: pc chain broken")
             if pv[PV_INIT_CYCLE] != prev_pv[PV_END_CYCLE]:
                 raise ShardChainError(f"shard {s}: cycle chain broken")
-            if pv[PV_HEAP_WORDS] != prev_pv[PV_HEAP_WORDS] or (
-                pv[PV_STACK_WORDS] != prev_pv[PV_STACK_WORDS]
+            if (
+                pv[PV_HEAP_WORDS] != prev_pv[PV_HEAP_WORDS]
+                or pv[PV_STACK_WORDS] != prev_pv[PV_STACK_WORDS]
+                or pv[PV_INFO_WORDS] != prev_pv[PV_INFO_WORDS]
             ):
                 raise ShardChainError(f"shard {s}: dynamic RAM length mismatch")
             if not np.array_equal(
