@@ -116,6 +116,12 @@ class OpeningProof:
 _INV2 = bb.const(pow(2, bb.P - 2, bb.P))
 
 
+@functools.lru_cache(maxsize=32)
+def _invw_dev(log_m: int):
+    """Device fold twiddles, cached per size (one transfer per process)."""
+    return jnp.asarray(bb.np_to_monty(ntt.domain_pow_inv(log_m)))
+
+
 # ---------------------------------------------------------------------------
 # Device kernels
 # ---------------------------------------------------------------------------
@@ -296,6 +302,7 @@ def open_batch(
     def hook(rnd, ch):
         cur_log = fold_state["log_m"]
         invw = ntt.domain_pow_inv(cur_log)
+        invw_dev = _invw_dev(cur_log)
         new_m = 1 << (cur_log - 1)
         needs_tree = (
             fold_state["tail"] is None
@@ -307,7 +314,7 @@ def open_batch(
                 with spans.span(f"fold-tree/2^{cur_log}"):
                     nu, leaves, levels = fold_codewords_and_tree(
                         fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
-                        jnp.asarray(bb.np_to_monty(invw)),
+                        invw_dev,
                     )
                     fold_state["u"] = nu
                     with spans.span("tree-fetch"):
@@ -319,8 +326,7 @@ def open_batch(
                 transcript.append(tree.root)
                 return
             fold_state["u"] = fold_codewords(
-                fold_state["u"], jnp.asarray(bb.np_to_monty(ch)),
-                jnp.asarray(bb.np_to_monty(invw)),
+                fold_state["u"], jnp.asarray(bb.np_to_monty(ch)), invw_dev
             )
         else:
             if fold_state["u_host"] is None:

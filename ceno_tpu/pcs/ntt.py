@@ -51,16 +51,22 @@ def _twiddles_monty(log_m: int) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def domain_pow_inv(log_m: int) -> np.ndarray:
-    """Canonical w_M^{-i} for i in [0, M/2) (host, for fold twiddles)."""
+    """Canonical w_M^{-i} for i in [0, M/2) (host, for fold twiddles).
+
+    Built by vectorized doubling (log m numpy passes) and cached per size —
+    the scalar-python version of this ran 2^21 big-int multiplies per fold
+    level and dominated the whole PCS opening."""
     m = 1 << log_m
     w_inv = pow(bb.two_adic_root(log_m), bb.P - 2, bb.P)
-    out = np.empty(m // 2, np.uint64)
-    cur = 1
-    for i in range(m // 2):
-        out[i] = cur
-        cur = cur * w_inv % bb.P
-    return out
+    out = np.ones(1, np.uint64)
+    step = np.uint64(w_inv)
+    p = np.uint64(bb.P)
+    while len(out) < m // 2:
+        out = np.concatenate([out, out * step % p])
+        step = step * step % p
+    return out[: m // 2]
 
 
 def mobius(x):
