@@ -68,6 +68,9 @@ class BasefoldParams:
     # True = ONE stacked commitment + translation sumcheck per shard
     # (pcs/jagged.py); False = one commitment per height class.
     jagged: bool = True
+    # inner opening scheme for the jagged single-point batch:
+    # "basefold" (device kernels) or "whir" (pcs/whir.py, host path)
+    pcs_kind: str = "basefold"
 
     @property
     def blowup(self) -> int:
@@ -205,10 +208,11 @@ def commit(cols, params: BasefoldParams = BasefoldParams()) -> Committed:
     Small matrices are committed entirely on host (XLA program size and
     compile latency dominate below HOST_COMMIT_N); the host/device choice is
     recorded by the array type of Committed.cols and respected by open_batch.
+    WHIR mode (params.pcs_kind) opens on host, so it commits on host too.
     """
     n = cols.shape[1]
     n_vars = n.bit_length() - 1
-    if n <= HOST_COMMIT_N:
+    if n <= HOST_COMMIT_N or params.pcs_kind == "whir":
         if not isinstance(cols, np.ndarray):
             cols = bb.np_from_monty(np.asarray(cols)).astype(np.uint64)
         cw = ntt.np_encode(cols, blowup_log=params.blowup_log)

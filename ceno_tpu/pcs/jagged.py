@@ -173,11 +173,25 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
     out = sc_prover.prove(base_cols, ext_cols, terms, log_r, transcript)
     transcript.append(out.final_base.ravel())
     v_evals = out.final_base
-    pcs_claims = [Claim(0, c, v_evals[c]) for c in range(layout.n_mat_cols)]
-    opening = basefold.open_batch(
-        committed, np.stack([out.point]), pcs_claims, transcript, params
-    )
+    if params.pcs_kind == "whir":
+        from . import whir
+
+        opening = whir.open_whir(
+            committed, out.point, v_evals, transcript, params.blowup_log,
+            _whir_params(params),
+        )
+    else:
+        pcs_claims = [Claim(0, c, v_evals[c]) for c in range(layout.n_mat_cols)]
+        opening = basefold.open_batch(
+            committed, np.stack([out.point]), pcs_claims, transcript, params
+        )
     return JaggedOpening(out.proof.round_msgs, v_evals, opening)
+
+
+def _whir_params(params: BasefoldParams):
+    from .whir import WhirParams
+
+    return WhirParams(security_bits=params.n_queries * max(1, params.blowup_log))
 
 
 class JaggedError(Exception):
@@ -222,8 +236,16 @@ def verify_jagged(root, layout: JaggedLayout, claims: list,
     if not np.array_equal(acc, final_claim):
         raise JaggedError("jagged translation recombination mismatch")
 
-    pcs_claims = [Claim(0, c, v_evals[c]) for c in range(layout.n_mat_cols)]
-    basefold.verify_batch(
-        root, log_r, layout.n_mat_cols, np.stack([point]), pcs_claims,
-        proof.opening, transcript, params,
-    )
+    if params.pcs_kind == "whir":
+        from . import whir
+
+        whir.verify_whir(
+            root, log_r, layout.n_mat_cols, point, v_evals, proof.opening,
+            transcript, params.blowup_log, _whir_params(params),
+        )
+    else:
+        pcs_claims = [Claim(0, c, v_evals[c]) for c in range(layout.n_mat_cols)]
+        basefold.verify_batch(
+            root, log_r, layout.n_mat_cols, np.stack([point]), pcs_claims,
+            proof.opening, transcript, params,
+        )

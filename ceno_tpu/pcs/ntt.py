@@ -51,13 +51,11 @@ def _twiddles_monty(log_m: int) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
-@functools.lru_cache(maxsize=32)
 def domain_pow_inv(log_m: int) -> np.ndarray:
     """Canonical w_M^{-i} for i in [0, M/2) (host, for fold twiddles).
 
-    Built by vectorized doubling (log m numpy passes) and cached per size —
-    the scalar-python version of this ran 2^21 big-int multiplies per fold
-    level and dominated the whole PCS opening."""
+    Built by vectorized doubling (log m numpy passes); the scalar-python
+    version ran 2^21 big-int multiplies on first use at bench sizes."""
     m = 1 << log_m
     w_inv = pow(bb.two_adic_root(log_m), bb.P - 2, bb.P)
     out = np.ones(1, np.uint64)

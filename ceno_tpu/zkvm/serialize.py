@@ -40,6 +40,7 @@ def _whitelist():
     from ..gkr.tower import TowerProof
     from ..pcs.basefold import BasefoldParams, OpeningProof, QueryProof
     from ..pcs.jagged import JaggedOpening
+    from ..pcs.whir import WhirProof, WhirIter, WhirQuerySet
     from .tables import ZKVMConfig
     from ..emulator.state import Platform
     from .scheme import ZKVMProof
@@ -50,6 +51,7 @@ def _whitelist():
     classes = [
         ZKVMProof, ChipProof, ChipTowerProof, ClassMainProof, TowerProof,
         OpeningProof, QueryProof, JaggedOpening,
+        WhirProof, WhirIter, WhirQuerySet,
         BasefoldParams, ZKVMConfig, Platform, EccQuarkProof, ShardedProof,
     ]
     return {c.__name__: c for c in classes}
