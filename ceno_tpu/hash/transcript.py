@@ -91,6 +91,48 @@ class Transcript:
             out[i] = _ext_mul_canon(out[i - 1], a)
         return out
 
+    # -- proof-of-work grinding ----------------------------------------------
+
+    def grind(self, pow_bits: int) -> int:
+        """Find and absorb a nonce such that the next sampled base element
+        falls below ``P >> pow_bits`` (classic FRI/Basefold query-phase PoW
+        grinding; role mirror of the reference security config's PoW bits).
+        Consumes the qualifying sample. Returns the nonce for the proof."""
+        if pow_bits <= 0:
+            return 0
+        threshold = np.uint64(bb.P >> pow_bits)
+        # vectorized candidate search on a simulated (append -> sample) step
+        pre = self.state.copy()
+        pos = self._pos
+        if pos == p2.RATE:
+            pre = p2.permute_host(pre)
+            pos = 0
+        chunk = 4096
+        base = 0
+        nonce = None
+        while nonce is None:
+            lanes = np.tile(pre[:, None], (1, chunk))
+            cand = np.arange(base, base + chunk, dtype=np.uint64) % np.uint64(bb.P)
+            lanes[pos] = (lanes[pos] + cand) % np.uint64(bb.P)
+            out = p2.permute_host(lanes)
+            hits = np.nonzero(out[0] < threshold)[0]
+            if hits.size:
+                nonce = int(cand[int(hits[0])])
+            base += chunk
+        self.append([nonce])
+        got = self.sample_base()
+        if got >= int(threshold):  # pragma: no cover - search guarantees this
+            raise RuntimeError("PoW grind simulation diverged from sponge")
+        return nonce
+
+    def check_grind(self, nonce: int, pow_bits: int) -> bool:
+        """Verifier side: absorb the claimed nonce, sample, check the bound.
+        Replays the identical transcript interaction as :meth:`grind`."""
+        if pow_bits <= 0:
+            return True
+        self.append([int(nonce) % bb.P])
+        return self.sample_base() < (bb.P >> pow_bits)
+
     # -- forking ------------------------------------------------------------
 
     def fork(self, index: int) -> "Transcript":

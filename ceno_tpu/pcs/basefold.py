@@ -62,7 +62,11 @@ from .merkle import MerkleTree, hash_and_tree, gather_rows, verify_path, verify_
 @dataclass
 class BasefoldParams:
     blowup_log: int = 3
-    n_queries: int = 34   # ~100-bit conjectured security at rate 1/8
+    # conjectured security ~= n_queries * blowup_log + pow_bits
+    # (29*3 + 16 = 103 bits; the reference security config pairs
+    # Conjecture100bits with PoW grinding the same way)
+    n_queries: int = 29
+    pow_bits: int = 16    # query-phase proof-of-work grinding bits
     stop_size: int = 256  # codeword sent in clear below this
     # PcsKind mirror (e2e.rs:103-129; reference default is Jagged<Basefold>):
     # True = ONE stacked commitment + translation sumcheck per shard
@@ -114,6 +118,7 @@ class OpeningProof:
     tail: np.ndarray           # (K, S, 4) canonical in-clear codewords
     point_evals: np.ndarray    # (K, 4): F_k(point)
     queries: list = field(default_factory=list)
+    pow_nonce: int = 0         # query-phase grinding nonce
 
 
 _INV2 = bb.const(pow(2, bb.P - 2, bb.P))
@@ -363,7 +368,9 @@ def open_batch(
     point_evals = out.final_ext[k : 2 * k]
     transcript.append(point_evals.ravel())
 
-    # query phase
+    # query phase (PoW grinding first: attacker pays 2^pow_bits sponge
+    # permutations per query-set attempt)
+    pow_nonce = transcript.grind(params.pow_bits)
     n_committed = len(fold_state["trees"])
     idxs = [transcript.sample_base() % (m // 2) for _ in range(params.n_queries)]
     base_pairs = np.array(
@@ -431,6 +438,7 @@ def open_batch(
         fold_state["tail"],
         point_evals,
         queries,
+        pow_nonce,
     )
 
 
@@ -507,6 +515,8 @@ def verify_batch(
             raise PCSError(f"tail {kk} is not the constant F_k(point)")
 
     # query phase
+    if not transcript.check_grind(proof.pow_nonce, params.pow_bits):
+        raise PCSError("proof-of-work grinding check failed")
     idxs = [transcript.sample_base() % (m // 2) for _ in range(params.n_queries)]
     if [q.index for q in proof.queries] != idxs:
         raise PCSError("query indices do not match transcript")

@@ -117,12 +117,17 @@ def _point_key(z: np.ndarray) -> bytes:
 
 def open_jagged(committed, layout: JaggedLayout, claims: list,
                 transcript, params: BasefoldParams) -> JaggedOpening:
+    from ..utils import spans
+
     n_r, log_r = layout.n_r, layout.n_r.bit_length() - 1
     gammas = transcript.sample_ext_pows(len(claims))
     on_host = isinstance(committed.cols, np.ndarray)
 
     # shared eq columns for full-height points; materialized w for partial
+    _w_span = spans.span("trans-weights")
+    _w_span.__enter__()
     eq_cols: dict = {}     # point key -> ext col index
+    eq_host_cache: dict = {}  # point key -> host (h, 4) eq table
     ext_cols: list = []
     w_partial: dict = {}   # mat_col -> accumulating host (n_r, 4) array
     terms: list = []
@@ -147,12 +152,14 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
             w = w_partial.get(ref.mat_col)
             if w is None:
                 w = w_partial[ref.mat_col] = np.zeros((n_r, 4), np.uint64)
-            eq_h = H.build_eq_host(np.asarray(cl.z, np.uint64))  # (h, 4)
+            key = _point_key(cl.z)
+            eq_h = eq_host_cache.get(key)
+            if eq_h is None:
+                eq_h = eq_host_cache[key] = H.build_eq_host(
+                    np.asarray(cl.z, np.uint64)
+                )  # (h, 4)
             lo = ref.sub_idx * h
-            block = np.array([
-                exth.mul(gammas[t], eq_h[i]) for i in range(h)
-            ], np.uint64)
-            w[lo : lo + h] = exth.add(w[lo : lo + h], block)
+            w[lo : lo + h] = exth.add(w[lo : lo + h], exth.mul(gammas[t], eq_h))
 
     partial_cols = sorted(w_partial)
     for c in partial_cols:
@@ -170,7 +177,9 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
                      for c in range(layout.n_mat_cols)]
     else:
         base_cols = [committed.cols[c] for c in range(layout.n_mat_cols)]
-    out = sc_prover.prove(base_cols, ext_cols, terms, log_r, transcript)
+    _w_span.__exit__(None, None, None)
+    with spans.span("trans-sumcheck"):
+        out = sc_prover.prove(base_cols, ext_cols, terms, log_r, transcript)
     transcript.append(out.final_base.ravel())
     v_evals = out.final_base
     if params.pcs_kind == "whir":
@@ -191,7 +200,10 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
 def _whir_params(params: BasefoldParams):
     from .whir import WhirParams
 
-    return WhirParams(security_bits=params.n_queries * max(1, params.blowup_log))
+    return WhirParams(
+        security_bits=params.n_queries * max(1, params.blowup_log),
+        pow_bits=params.pow_bits,
+    )
 
 
 class JaggedError(Exception):

@@ -49,6 +49,7 @@ class WhirParams:
     k: int = 3              # sumcheck/fold rounds per iteration
     stop_vars: int = 5      # send the function in clear at/below this size
     security_bits: int = 100
+    pow_bits: int = 0       # per-query-set proof-of-work grinding bits
 
 
 @dataclass
@@ -58,6 +59,7 @@ class WhirQuerySet:
     indices: list           # folded-domain indices
     leaves: np.ndarray      # (Q, 2^k, C) base or (Q, 2^k, 4) ext canonical
     paths: np.ndarray       # (Q * 2^k, depth, 8)
+    pow_nonce: int = 0      # grinding nonce consumed before the indices
 
 
 @dataclass
@@ -218,6 +220,7 @@ def open_whir(committed, point: np.ndarray, values: np.ndarray,
             qs = _prove_queries(
                 oracle_tree, oracle_leaves, oracle_is_base, transcript,
                 log_m, k, _n_queries(cur_blowup, params.security_bits),
+                params.pow_bits,
             )
             return WhirProof(iters, msgs, g, qs)
 
@@ -237,6 +240,7 @@ def open_whir(committed, point: np.ndarray, values: np.ndarray,
         qs = _prove_queries(
             oracle_tree, oracle_leaves, oracle_is_base, transcript,
             log_m, k, _n_queries(cur_blowup, params.security_bits),
+            params.pow_bits,
         )
         gamma = np.array(transcript.sample_ext(), np.uint64)
         iters.append(WhirIter(msgs, tree.root, y_ood, qs))
@@ -272,10 +276,12 @@ def _gamma_pows(gamma: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _prove_queries(tree, leaves, is_base, transcript, log_m, k, n_q):
+def _prove_queries(tree, leaves, is_base, transcript, log_m, k, n_q,
+                   pow_bits=0):
     """Sample indices and open the 2^k-leaf cosets of one oracle."""
     m = 1 << log_m
     step = m >> k
+    nonce = transcript.grind(pow_bits)
     idxs = [transcript.sample_base() % step for _ in range(n_q)]
     all_leaves = []
     all_paths = []
@@ -290,6 +296,7 @@ def _prove_queries(tree, leaves, is_base, transcript, log_m, k, n_q):
     return WhirQuerySet(
         idxs, np.stack(all_leaves),
         np.concatenate(all_paths) if all_paths else np.zeros((0, 0, 8), np.uint64),
+        nonce,
     )
 
 
@@ -320,6 +327,8 @@ def verify_whir(root: np.ndarray, n_vars: int, n_cols: int,
             raise WhirError("bad query count")
         m = 1 << log_m
         step = m >> k
+        if not transcript.check_grind(qs.pow_nonce, params.pow_bits):
+            raise WhirError("proof-of-work grinding check failed")
         expect_idx = [transcript.sample_base() % step for _ in range(n_q)]
         if list(qs.indices) != expect_idx:
             raise WhirError("query indices do not match the transcript")

@@ -137,6 +137,24 @@ def test_basefold_rejects_tampered_query():
         pass
 
 
+def test_basefold_rejects_bad_pow_nonce():
+    """The query-phase PoW grinding must bind: a perturbed nonce shifts the
+    sampled query indices, so verification rejects (either at the grinding
+    bound or at the index replay)."""
+    params = BasefoldParams(blowup_log=1, n_queries=4, stop_size=16, pow_bits=8)
+    committed, points, claims, proof = _pcs_roundtrip(6, 2, 1, params)
+    proof.pow_nonce = (proof.pow_nonce + 1) % bb.P
+    tv = Transcript(b"pcs")
+    tv.append(committed.root)
+    try:
+        basefold.verify_batch(
+            committed.root, 6, 2, points, claims, proof, tv, params
+        )
+        assert False, "tampered PoW nonce must not verify"
+    except basefold.PCSError:
+        pass
+
+
 def test_basefold_rejects_shifted_message_forgery():
     """Regression for the round-1 under-constrained batch opening (ADVICE.md):
     a malicious prover folds the oracles HONESTLY, claims a false value for
