@@ -91,23 +91,9 @@ def _tpu_prove():
     t0 = time.time()
     pk = keygen(vm.program, cfg, params)
     log(f"keygen done in {time.time() - t0:.1f}s")
-    import ceno_tpu.gkr.chip as chiplib
-
-    orig = chiplib.prove_chip_tower
-
-    def timed(compiled, *a, **kw):
-        t = time.time()
-        r = orig(compiled, *a, **kw)
-        dt = time.time() - t
-        if dt > 0.5:
-            log(f"  chip towers {compiled.name}: {dt:.1f}s")
-        return r
-
-    chiplib.prove_chip_tower = timed
     t0 = time.time()
     proof = prove(pk, vm, trace, pv)  # warm (compiles)
     log(f"warm prove done in {time.time() - t0:.1f}s")
-    chiplib.prove_chip_tower = orig
     from ceno_tpu.utils import spans
 
     spans.enable()

@@ -592,12 +592,19 @@ class ChipError(Exception):
 
 
 @dataclass
-class ChipTowerProof:
-    """Per-chip proof piece when the main sumcheck is class-batched."""
+class _TowerInputs:
+    """Per-chip record MLEs waiting for the grouped tower stage."""
 
+    compiled: CompiledChip
     num_instances: int
     n_vars: int
-    tower_proof: tower.TowerProof
+    use_host: bool
+    wit_dev: object
+    fixed_dev: object
+    structural_dev: object
+    prods: list        # [(4, N_t) device Monty] or [(N_t, 4) host canonical]
+    lps: list          # [(p, q)] same convention
+    n_tower: int       # N_t = n << rho (the grouping key)
 
 
 @dataclass
@@ -623,10 +630,9 @@ class _TowerCtx:
     structural_dev: object
     x_star: np.ndarray
     mults: list
-    proof: ChipTowerProof
 
 
-def prove_chip_tower(
+def build_tower_inputs(
     compiled: CompiledChip,
     wit_dev,
     fixed_dev,
@@ -634,13 +640,9 @@ def prove_chip_tower(
     instances: np.ndarray,
     num_instances: int,
     challenges: np.ndarray,
-    transcript: Transcript,
-) -> _TowerCtx:
-    """Records + towers + slot-alpha sampling for one chip (stage 1 of the
-    class-batched prove; identical transcript interaction to the first half
-    of prove_chip)."""
-    from ..utils import spans
-
+) -> _TowerInputs:
+    """Record inference for one chip (stage 1a of the class-batched prove).
+    No transcript interaction — the records wait for the grouped tower."""
     n = wit_dev.shape[1]
     n_vars = n.bit_length() - 1
     use_host = n <= HOST_CHIP_N and isinstance(wit_dev, np.ndarray)
@@ -668,16 +670,51 @@ def prove_chip_tower(
     prods = [m for m in (mr, mw) if m is not None]
     lps = [(pcat, qcat)] if pcat is not None else []
     assert prods or lps, f"{compiled.name}: chip has no records"
-    with spans.span("towers"):
-        tower_proof, rt, _claims = tower.prove_towers(prods, lps, transcript)
-    x_star = rt[:n_vars]
-    b_star = rt[n_vars:]
-    mults, _meta = _slot_multipliers(compiled, b_star, transcript)
-    return _TowerCtx(
+    rho, _, _, _ = interleave_geometry(compiled)
+    return _TowerInputs(
         compiled, num_instances, n_vars, use_host,
-        wit_dev, fixed_dev, structural_dev, x_star, mults,
-        ChipTowerProof(num_instances, n_vars, tower_proof),
+        wit_dev, fixed_dev, structural_dev, prods, lps, n << rho,
     )
+
+
+def _rec_to_dev(r: np.ndarray):
+    """Host (N, 4) canonical record -> device (4, N) Monty."""
+    return jnp.asarray(
+        bb.np_to_monty(np.ascontiguousarray(r.T).astype(np.uint32))
+    )
+
+
+def prove_group_towers(inputs: list, transcript: Transcript):
+    """Stage 1b: ONE tower prove for all chips whose interleaved record tree
+    has the same size N_t = n << rho (P3 chip parallelism by batching — the
+    per-level sumchecks run once per group instead of once per chip,
+    scheduler.rs:49-155 role). The final point rt is shared; each chip splits
+    it per its own geometry (x* = rt[:n_vars], b* = rt[n_vars:]). Per-chip
+    slot-multiplier challenges are sampled after the group tower, in chip
+    order. Returns (tower.TowerProof, [_TowerCtx])."""
+    from ..utils import spans
+
+    any_dev = any(not ti.use_host for ti in inputs)
+    prods, lps = [], []
+    for ti in inputs:
+        p_i, l_i = ti.prods, ti.lps
+        if any_dev and ti.use_host:
+            p_i = [_rec_to_dev(r) for r in p_i]
+            l_i = [(_rec_to_dev(p), _rec_to_dev(q)) for p, q in l_i]
+        prods += p_i
+        lps += l_i
+    with spans.span(f"towers/2^{inputs[0].n_tower.bit_length() - 1}"):
+        tower_proof, rt, _claims = tower.prove_towers(prods, lps, transcript)
+    ctxs = []
+    for ti in inputs:
+        x_star = rt[: ti.n_vars]
+        b_star = rt[ti.n_vars :]
+        mults, _meta = _slot_multipliers(ti.compiled, b_star, transcript)
+        ctxs.append(_TowerCtx(
+            ti.compiled, ti.num_instances, ti.n_vars, ti.use_host,
+            ti.wit_dev, ti.fixed_dev, ti.structural_dev, x_star, mults,
+        ))
+    return tower_proof, ctxs
 
 
 def prove_class_main(
@@ -764,51 +801,78 @@ class _VerifyCtx:
     main_deg: int
 
 
-def verify_chip_tower(
-    compiled: CompiledChip,
-    proof: ChipTowerProof,
+def verify_group_towers(
+    entries: list,
+    group_proof: tower.TowerProof,
     instances: np.ndarray,
     challenges: np.ndarray,
     transcript: Transcript,
 ):
-    """Stage 1 of the class-batched verify: tower verification + the chip's
-    batched main claim. Returns (_VerifyCtx, prod_values, logup_fracs)."""
-    n_vars = proof.n_vars
-    k = proof.num_instances
-    rho, r_r, r_w, r_l = interleave_geometry(compiled)
-    n_lk = len(compiled.lk_exprs)
-    rt, prod_claims, logup_claims, prod_values, logup_fracs = tower.verify_towers(
-        proof.tower_proof, n_vars + rho, transcript
-    )
-    x_star = rt[:n_vars]
-    b_star = rt[n_vars:]
-    mults, meta = _slot_multipliers(compiled, b_star, transcript)
-    w = meta["w"]
-    one = exth.one()
+    """Stage 1 of the class-batched verify: ONE tower verification for every
+    chip of one tower-size group (mirrors prove_group_towers).
 
-    batched = np.zeros(4, np.uint64)
-    pi = 0
-    if r_r:
-        batched = exth.add(batched, exth.mul(meta["a_r"], exth.sub(prod_claims[pi], one)))
-        pi += 1
-    if r_w:
-        batched = exth.add(batched, exth.mul(meta["a_w"], exth.sub(prod_claims[pi], one)))
-        pi += 1
-    if r_l:
-        sel_v = sel_prefix_sum(x_star, k)
-        w_chip = np.zeros(4, np.uint64)
-        for i in range(n_lk):
-            w_chip = exth.add(w_chip, w[i])
-        p_claim = exth.sub(logup_claims[0][0], exth.mul(sel_v, w_chip))
-        batched = exth.add(batched, exth.mul(meta["a_p"], p_claim))
-        batched = exth.add(
-            batched, exth.mul(meta["a_q"], exth.sub(logup_claims[0][1], one))
-        )
-    main_deg = max(
-        (len(t.cols) + 1 for s in compiled.slots for t in s.terms), default=1
+    ``entries``: [(compiled, num_instances, n_vars)] in group chip order.
+    Returns [(_VerifyCtx, prod_values (S_p_i, 4), logup_fracs (S_l_i, 2, 4))
+    per chip]. Raises ChipError if the proof's spec count does not match the
+    group geometry."""
+    geo = [interleave_geometry(e[0]) for e in entries]
+    n_tower_vars = entries[0][2] + geo[0][0]
+    for (compiled, k, n_vars), (rho, _, _, _) in zip(entries, geo):
+        if n_vars + rho != n_tower_vars:
+            raise ChipError(f"{compiled.name}: tower group size mismatch")
+    rt, prod_claims, logup_claims, prod_values, logup_fracs = tower.verify_towers(
+        group_proof, n_tower_vars, transcript
     )
-    ctx = _VerifyCtx(compiled, k, n_vars, x_star, mults, batched, main_deg)
-    return ctx, prod_values, logup_fracs
+    out = []
+    pi = li = 0
+    one = exth.one()
+    for (compiled, k, n_vars), (rho, r_r, r_w, r_l) in zip(entries, geo):
+        n_lk = len(compiled.lk_exprs)
+        x_star = rt[:n_vars]
+        b_star = rt[n_vars:]
+        mults, meta = _slot_multipliers(compiled, b_star, transcript)
+        w = meta["w"]
+
+        batched = np.zeros(4, np.uint64)
+        chip_prod_values = []
+        if r_r:
+            batched = exth.add(
+                batched, exth.mul(meta["a_r"], exth.sub(prod_claims[pi], one))
+            )
+            chip_prod_values.append(prod_values[pi])
+            pi += 1
+        if r_w:
+            batched = exth.add(
+                batched, exth.mul(meta["a_w"], exth.sub(prod_claims[pi], one))
+            )
+            chip_prod_values.append(prod_values[pi])
+            pi += 1
+        chip_logup_fracs = np.zeros((0, 2, 4), np.uint64)
+        if r_l:
+            sel_v = sel_prefix_sum(x_star, k)
+            w_chip = np.zeros(4, np.uint64)
+            for i in range(n_lk):
+                w_chip = exth.add(w_chip, w[i])
+            p_claim = exth.sub(logup_claims[li][0], exth.mul(sel_v, w_chip))
+            batched = exth.add(batched, exth.mul(meta["a_p"], p_claim))
+            batched = exth.add(
+                batched, exth.mul(meta["a_q"], exth.sub(logup_claims[li][1], one))
+            )
+            chip_logup_fracs = logup_fracs[li : li + 1]
+            li += 1
+        main_deg = max(
+            (len(t.cols) + 1 for s in compiled.slots for t in s.terms), default=1
+        )
+        ctx = _VerifyCtx(compiled, k, n_vars, x_star, mults, batched, main_deg)
+        out.append((
+            ctx,
+            np.stack(chip_prod_values)
+            if chip_prod_values else np.zeros((0, 4), np.uint64),
+            chip_logup_fracs,
+        ))
+    if pi != prod_values.shape[0] or li != logup_fracs.shape[0]:
+        raise ChipError("tower group spec count mismatch")
+    return out
 
 
 def verify_class_main(

@@ -121,7 +121,7 @@ def proof_size_breakdown(proof) -> dict:
     out = {
         "public_values": nbytes(proof.public_values),
         "witness_roots": nbytes(proof.witness_roots),
-        "chip_proofs": nbytes(proof.chip_proofs),
+        "tower_groups": nbytes(proof.tower_groups),
         "class_main": nbytes(proof.class_main),
         "ec_proofs": nbytes(proof.ec_proofs),
         "witness_openings": nbytes(proof.witness_openings),

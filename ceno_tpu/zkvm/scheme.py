@@ -50,7 +50,7 @@ from .layout import (
     PV_HEAP_WORDS, PV_STACK_WORDS, PV_INFO_WORDS,
 )
 
-LABEL = b"ceno-tpu/zkvm/v6"
+LABEL = b"ceno-tpu/zkvm/v8"  # v7: PCS PoW grinding; v8: grouped towers
 
 
 def _dev(x: np.ndarray):
@@ -127,7 +127,7 @@ class ZKVMProof:
     public_values: np.ndarray
     num_instances: list
     witness_roots: dict        # height -> (8,) canonical
-    chip_proofs: list          # chiplib.ChipTowerProof per chip (registry order)
+    tower_groups: dict         # tower size N_t -> tower.TowerProof (grouped)
     class_main: dict           # height -> chiplib.ClassMainProof
     ec_proofs: dict            # chip name -> eccquark.EccQuarkProof
     witness_openings: dict     # height -> basefold.OpeningProof
@@ -314,8 +314,8 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
 
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
 
-    # stage 1: per-chip records + towers (registry order, shared transcript)
-    ctxs = [None] * len(assigned)
+    # stage 1a: per-chip record inference (registry order, no transcript)
+    inputs = [None] * len(assigned)
     for ci, a in enumerate(assigned):
         if not active[ci]:
             continue
@@ -326,12 +326,29 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
             else np.zeros((0, n), np.uint64)
         )
         fixed = _fixed_matrix(pk, a, n)
-        with spans.span(f"chip/{a.name}"):
-            ctxs[ci] = chiplib.prove_chip_tower(
+        with spans.span(f"records/{a.name}"):
+            inputs[ci] = chiplib.build_tower_inputs(
                 a.compiled, a.wit, fixed, structural, public_values,
-                a.num_instances, challenges, t,
+                a.num_instances, challenges,
             )
-    chip_proofs = [c.proof if c is not None else None for c in ctxs]
+
+    # stage 1b: ONE tower prove per tower-size group (ascending N_t; chips
+    # in registry order within a group — the verifier reconstructs the same
+    # grouping from public chip geometry)
+    group_members: dict = {}
+    for ci, ti in enumerate(inputs):
+        if ti is not None:
+            group_members.setdefault(ti.n_tower, []).append(ci)
+    ctxs = [None] * len(assigned)
+    tower_groups = {}
+    for n_t in sorted(group_members):
+        members = group_members[n_t]
+        gproof, gctxs = chiplib.prove_group_towers(
+            [inputs[ci] for ci in members], t
+        )
+        tower_groups[n_t] = gproof
+        for ci, ctx in zip(members, gctxs):
+            ctxs[ci] = ctx
 
     # stage 2: ONE batched main zerocheck per height class (ascending)
     class_main = {}
@@ -416,7 +433,7 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
         pv,
         [a.num_instances for a in assigned],
         {h: c.root for h, c in wit_committed.items()},
-        chip_proofs,
+        tower_groups,
         class_main,
         ec_proofs,
         witness_openings,
@@ -536,37 +553,49 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
 
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
 
+    # grouped tower verification: reconstruct the prover's grouping from
+    # public chip geometry (N_t = height << rho), ascending N_t, chips in
+    # registry order within a group
+    group_members: dict = {}
+    for ci, meta in enumerate(vk.metas):
+        if not chip_active[ci]:
+            continue
+        rho, _, _, _ = chiplib.interleave_geometry(meta.compiled)
+        group_members.setdefault(heights[ci] << rho, []).append(ci)
+    if set(proof.tower_groups) != set(group_members):
+        raise ZKVMError("tower group size set mismatch")
+
     prod_r = exth.one()
     prod_w = exth.one()
     logup_num = np.zeros(4, np.uint64)
     logup_den = exth.one()
-    vctxs = []
-    for ci, meta in enumerate(vk.metas):
-        cp = proof.chip_proofs[ci]
-        if not chip_active[ci]:
-            if cp is not None:
-                raise ZKVMError(f"{meta.name}: unexpected proof for empty chip")
-            vctxs.append(None)
-            continue
-        if cp is None:
-            raise ZKVMError(f"{meta.name}: missing chip proof")
-        if cp.num_instances != proof.num_instances[ci] or cp.n_vars != heights[ci].bit_length() - 1:
-            raise ZKVMError(f"{meta.name}: instance count mismatch")
-        vctx, prod_values, logup_fracs = chiplib.verify_chip_tower(
-            meta.compiled, cp, pv, challenges, t
+    vctxs = [None] * len(vk.metas)
+    for n_t in sorted(group_members):
+        members = group_members[n_t]
+        entries = [
+            (vk.metas[ci].compiled, proof.num_instances[ci],
+             heights[ci].bit_length() - 1)
+            for ci in members
+        ]
+        results = chiplib.verify_group_towers(
+            entries, proof.tower_groups[n_t], pv, challenges, t
         )
-        vctxs.append(vctx)
-        pi = 0
-        if meta.compiled.r_exprs:
-            prod_r = exth.mul(prod_r, prod_values[pi])
-            pi += 1
-        if meta.compiled.w_exprs:
-            prod_w = exth.mul(prod_w, prod_values[pi])
-            pi += 1
-        for s in range(logup_fracs.shape[0]):
-            p, q = logup_fracs[s]
-            logup_num = exth.add(exth.mul(logup_num, q), exth.mul(p, logup_den))
-            logup_den = exth.mul(logup_den, q)
+        for ci, (vctx, prod_values, logup_fracs) in zip(members, results):
+            meta = vk.metas[ci]
+            vctxs[ci] = vctx
+            pi = 0
+            if meta.compiled.r_exprs:
+                prod_r = exth.mul(prod_r, prod_values[pi])
+                pi += 1
+            if meta.compiled.w_exprs:
+                prod_w = exth.mul(prod_w, prod_values[pi])
+                pi += 1
+            for s in range(logup_fracs.shape[0]):
+                p, q = logup_fracs[s]
+                logup_num = exth.add(
+                    exth.mul(logup_num, q), exth.mul(p, logup_den)
+                )
+                logup_den = exth.mul(logup_den, q)
 
     # class-batched main zerochecks (ascending height; mirrors the prover)
     if set(proof.class_main) != set(wit_layout):

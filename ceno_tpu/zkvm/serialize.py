@@ -36,7 +36,7 @@ _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 def _whitelist():
     """name -> class map of every dataclass allowed in a proof tree."""
-    from ..gkr.chip import ChipProof, ChipTowerProof, ClassMainProof
+    from ..gkr.chip import ChipProof, ClassMainProof
     from ..gkr.tower import TowerProof
     from ..pcs.basefold import BasefoldParams, OpeningProof, QueryProof
     from ..pcs.jagged import JaggedOpening
@@ -49,7 +49,7 @@ def _whitelist():
     from .shard import ShardedProof
 
     classes = [
-        ZKVMProof, ChipProof, ChipTowerProof, ClassMainProof, TowerProof,
+        ZKVMProof, ChipProof, ClassMainProof, TowerProof,
         OpeningProof, QueryProof, JaggedOpening,
         WhirProof, WhirIter, WhirQuerySet,
         BasefoldParams, ZKVMConfig, Platform, EccQuarkProof, ShardedProof,

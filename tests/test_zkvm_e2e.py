@@ -40,12 +40,10 @@ def test_tampered_chip_proof_rejected(fib_result):
     import copy
 
     bad = copy.deepcopy(res.proof)
-    # corrupt a tower out eval of the first chip with instances
-    for cp in bad.chip_proofs:
-        if cp is not None and cp.tower_proof.prod_out.shape[0]:
-            cp.tower_proof.prod_out[0][0][0] = (
-                int(cp.tower_proof.prod_out[0][0][0]) + 1
-            ) % 2013265921
+    # corrupt a tower out eval of the first group with product specs
+    for gp in bad.tower_groups.values():
+        if gp.prod_out.shape[0]:
+            gp.prod_out[0][0][0] = (int(gp.prod_out[0][0][0]) + 1) % 2013265921
             break
     with pytest.raises(Exception):
         verify(res.pk.vk, bad)
@@ -147,6 +145,45 @@ def test_example_guests_prove():
         res = run_e2e(vm, CFG, PARAMS)
         assert int(res.public_values[4]) == prime, n
         assert verify(res.pk.vk, res.proof)
+
+    # median (examples/median.rs role)
+    src = open("examples/median.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start
+    )
+    vm = VMState(make_program(assemble(src, rom), rom), rom)
+    data = [5, 40, 7, 23, 90, 11]
+    for i, w in enumerate(data):
+        vm.init_memory(Platform.hints_start + 4 * i, w)
+    res = run_e2e(vm, CFG, PARAMS)
+    assert int(res.public_values[4]) == sorted(data[1:])[2]
+    assert verify(res.pk.vk, res.proof)
+
+
+def test_hashing_guest_commits_digest():
+    """examples/hashing.s: keccak syscall + PUB_IO commit of the state."""
+    from ceno_tpu.emulator.rv32im import assemble
+    from ceno_tpu.emulator.state import VMState, make_program, Platform
+    from ceno_tpu.emulator.keccak import keccakf, words_to_lanes, lanes_to_words
+    from ceno_tpu.zkvm.layout import PV_PUBIO_DIGEST
+
+    rom = Platform.rom_start
+    src = open("examples/hashing.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start,
+        keccak=Platform.ECALL_KECCAK, commit=Platform.ECALL_COMMIT,
+    )
+    vm = VMState(make_program(assemble(src, rom), rom), rom)
+    seed = [4, 0xDEAD, 0xBEEF, 0x1234, 0x5678]
+    for i, w in enumerate(seed):
+        vm.init_memory(Platform.hints_start + 4 * i, w)
+    res = run_e2e(vm, CFG, PARAMS)
+    state = seed[1:] + [0] * 46
+    expect = lanes_to_words(keccakf(words_to_lanes(state)))[:8]
+    # PV carries the committed digest words as u16 limb pairs
+    pv = [int(x) for x in
+          res.public_values[PV_PUBIO_DIGEST : PV_PUBIO_DIGEST + 16]]
+    got = [pv[2 * i] | (pv[2 * i + 1] << 16) for i in range(8)]
+    assert got == expect
+    assert verify(res.pk.vk, res.proof)
 
 
 def test_checkpointed_pipeline():
