@@ -1,0 +1,157 @@
+"""Batched sumcheck over GoldilocksExt2 (host reference kernels).
+
+Protocol mirror of sumcheck/{prover,verifier}.py for the Goldilocks
+configuration: prove sum_x sum_t scalar_t * prod(cols_t(x)) with per-round
+univariate messages at nodes 0..deg, binding the TOP variable each round
+(contiguous halves — the same convention the PCS codeword fold uses, so
+gl/pcs.py can interleave folds with rounds).
+
+Columns: base columns are (N,) canonical uint64, ext columns (N, 2).
+Terms: (scalar (2,), bidx tuple into base cols, eidx tuple into ext cols).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fields import gl_host as gl
+from ..fields import gl2_host as g2
+
+
+class GlSumcheckError(Exception):
+    pass
+
+
+@dataclass
+class GlSumcheckOutput:
+    round_msgs: np.ndarray    # (n_vars, deg+1, 2)
+    point: np.ndarray         # (n_vars, 2) LSB-last (round order = top-first)
+    final_base: np.ndarray    # (n_base, 2) column evals at the point
+    final_ext: np.ndarray     # (n_ext, 2)
+
+
+def build_eq(point: np.ndarray) -> np.ndarray:
+    """(n, 2) point -> (2^n, 2) eq table in ROUND order: point[0] is the TOP
+    row-index bit (the variable round 0 binds via the contiguous-halves
+    fold), point[n-1] the bottom. Processing variables in reverse makes
+    point[0] land on the final (MSB) concatenation."""
+    n = point.shape[0]
+    table = np.zeros((1, 2), np.uint64)
+    table[0] = g2.one()
+    one = g2.one()
+    for j in range(n - 1, -1, -1):
+        r = point[j]
+        lo = g2.mul(table, g2.sub(one, r))
+        hi = g2.mul(table, r)
+        table = np.concatenate([lo, hi], axis=0)
+    return table
+
+
+def _col(vals, is_ext: bool) -> np.ndarray:
+    """Normalize a column to (N, 2) ext form."""
+    return vals if is_ext else g2.from_base(vals)
+
+
+def _node_eval(cols: list, t: int) -> list:
+    """Per-column values at univariate node t: lo + t*(hi - lo), halves."""
+    out = []
+    tt = np.uint64(t % gl.P)
+    for c in cols:
+        half = c.shape[0] // 2
+        lo, hi = c[:half], c[half:]
+        out.append(g2.add(lo, g2.mul_base(g2.sub(hi, lo), tt)))
+    return out
+
+
+def prove(base_cols: list, ext_cols: list, terms: list, n_vars: int,
+          transcript, round_hook=None) -> GlSumcheckOutput:
+    cols = [_col(np.asarray(c, np.uint64), False) for c in base_cols] + [
+        np.asarray(c, np.uint64) for c in ext_cols
+    ]
+    n_base = len(base_cols)
+    deg = max((len(b) + len(e) for _, b, e in terms), default=1)
+    msgs = np.zeros((n_vars, deg + 1, 2), np.uint64)
+    point = np.zeros((n_vars, 2), np.uint64)
+    for r in range(n_vars):
+        for t in range(deg + 1):
+            node_cols = _node_eval(cols, t)
+            acc = np.zeros(2, np.uint64)
+            for scalar, bidx, eidx in terms:
+                prod = None
+                for bi in bidx:
+                    v = node_cols[bi]
+                    prod = v if prod is None else g2.mul(prod, v)
+                for ei in eidx:
+                    v = node_cols[n_base + ei]
+                    prod = v if prod is None else g2.mul(prod, v)
+                if prod is None:
+                    continue
+                s = _sum_rows(prod)
+                acc = g2.add(acc, g2.mul(np.asarray(scalar, np.uint64), s))
+            msgs[r, t] = acc
+        transcript.append(msgs[r].ravel())
+        alpha = transcript.sample_ext()
+        point[r] = alpha
+        cols = [_fold_top(c, alpha) for c in cols]
+        if round_hook is not None:
+            round_hook(r, alpha)
+    final = np.stack([c[0] for c in cols]) if cols else np.zeros((0, 2), np.uint64)
+    return GlSumcheckOutput(msgs, point, final[:n_base], final[n_base:])
+
+
+def _fold_top(c: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    half = c.shape[0] // 2
+    lo, hi = c[:half], c[half:]
+    return g2.add(lo, g2.mul(g2.sub(hi, lo), np.asarray(alpha, np.uint64)))
+
+
+def _sum_rows(v: np.ndarray) -> np.ndarray:
+    # exact sum: accumulate per component with python ints (no overflow)
+    return np.array(
+        [int(v[:, 0].astype(object).sum()) % gl.P,
+         int(v[:, 1].astype(object).sum()) % gl.P],
+        np.uint64,
+    )
+
+
+def lagrange_extrapolate(ys: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Evaluate the degree-d poly through (k, ys[k]) at ext point r."""
+    d = ys.shape[0] - 1
+    dens = []
+    for k in range(d + 1):
+        den = 1
+        for j in range(d + 1):
+            if j != k:
+                den = den * ((k - j) % gl.P) % gl.P
+        dens.append(pow(den, gl.P - 2, gl.P))
+    out = np.zeros(2, np.uint64)
+    for k in range(d + 1):
+        num = g2.one()
+        for j in range(d + 1):
+            if j != k:
+                num = g2.mul(num, g2.sub(r, g2.from_base(j)))
+        term = g2.mul_base(g2.mul(num, np.asarray(ys[k], np.uint64)),
+                           np.uint64(dens[k]))
+        out = g2.add(out, term)
+    return out
+
+
+def verify(claim: np.ndarray, round_msgs: np.ndarray, n_vars: int,
+           transcript, deg: int):
+    """Replay the rounds; returns (point (n,2), final reduced claim)."""
+    msgs = np.asarray(round_msgs, np.uint64)
+    if msgs.shape != (n_vars, deg + 1, 2):
+        raise GlSumcheckError("bad round message shape")
+    cur = np.asarray(claim, np.uint64)
+    point = np.zeros((n_vars, 2), np.uint64)
+    for r in range(n_vars):
+        g0_g1 = g2.add(msgs[r, 0], msgs[r, 1])
+        if not np.array_equal(g0_g1, cur):
+            raise GlSumcheckError(f"round {r}: g(0)+g(1) != claim")
+        transcript.append(msgs[r].ravel())
+        alpha = transcript.sample_ext()
+        point[r] = alpha
+        cur = lagrange_extrapolate(msgs[r], alpha)
+    return point, cur
