@@ -175,25 +175,32 @@ def _limbs(v):
     return v & MASK16, v >> 16
 
 
-_INV_CACHE = {}
-
-
 def _batch_inv(v: np.ndarray) -> np.ndarray:
-    """Vectorized field inverses (0 -> 0) with a small value cache (register
-    ids and tiny diffs repeat constantly)."""
-    out = np.zeros(len(v), np.uint64)
-    for val in np.unique(v):
-        iv = int(val)
-        if iv == 0:
-            continue
-        cached = _INV_CACHE.get(iv)
-        if cached is None:
-            if len(_INV_CACHE) < 4096:
-                cached = _INV_CACHE[iv] = pow(iv, bb.P - 2, bb.P)
-            else:
-                cached = pow(iv, bb.P - 2, bb.P)
-        out[v == val] = cached
-    return out
+    """Vectorized field inverses (0 -> 0): Montgomery batch inversion with
+    log-doubling prefix/suffix product scans (values < 2^31, so uint64
+    products never overflow) and ONE modular pow for the running total."""
+    v = np.asarray(v, np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    p = np.uint64(bb.P)
+    w = np.where(v == 0, np.uint64(1), v % p)
+
+    def _scan(x):  # inclusive prefix products mod p, O(log n) passes
+        acc = x.copy()
+        shift = 1
+        while shift < n:
+            acc[shift:] = acc[shift:] * acc[:-shift] % p
+            shift <<= 1
+        return acc
+
+    pref = _scan(w)
+    suff = _scan(w[::-1])[::-1]
+    total_inv = np.uint64(pow(int(pref[-1]), bb.P - 2, bb.P))
+    left = np.concatenate([np.ones(1, np.uint64), pref[:-1]])
+    right = np.concatenate([suff[1:], np.ones(1, np.uint64)])
+    out = left * right % p * total_inv % p
+    return np.where(v == 0, np.uint64(0), out)
 
 
 def _ts_cols(name, prev, cur):

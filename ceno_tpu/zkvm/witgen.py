@@ -64,9 +64,28 @@ def _lk_counts(cb, compiled, wit, instances, k, counts: dict):
             vals.append(np.broadcast_to(np.atleast_1d(np.asarray(v, np.uint64)), (n,)))
         tagc = counts.setdefault(tag, Counter())
         stacked = np.stack(vals, axis=1)[:k]  # (k, n_fields)
-        uniq, cnt = np.unique(stacked, axis=0, return_counts=True)
-        for row, c in zip(uniq, cnt):
-            tagc[tuple(int(x) for x in row)] += int(c)
+        # pack rows into one uint64 key when the widths fit: 1D unique is
+        # ~5x faster than the structured axis=0 sort on the hot tables
+        widths = [
+            max(1, int(stacked[:, j].max()).bit_length())
+            for j in range(stacked.shape[1])
+        ]
+        if sum(widths) <= 63:
+            keys = np.zeros(k, np.uint64)
+            for j, w_ in enumerate(widths):
+                keys = (keys << np.uint64(w_)) | stacked[:, j]
+            uk, cnt = np.unique(keys, return_counts=True)
+            for key, c in zip(uk, cnt):
+                key = int(key)
+                row = []
+                for w_ in reversed(widths):
+                    row.append(key & ((1 << w_) - 1))
+                    key >>= w_
+                tagc[tuple(reversed(row))] += int(c)
+        else:
+            uniq, cnt = np.unique(stacked, axis=0, return_counts=True)
+            for row, c in zip(uniq, cnt):
+                tagc[tuple(int(x) for x in row)] += int(c)
 
 
 _MOCK_CHAL = np.array([[5, 7, 11, 13], [17, 19, 23, 29]], np.uint64)
