@@ -51,10 +51,13 @@ from ..sumcheck.prover import TermSpec
 # ---------------------------------------------------------------------------
 
 @jax.jit
+@jax.jit
 def product_layers(v):
     """All layers of the product tree, input (4, N) ext -> [layer1, ..., input].
 
-    layers[k-1] has 2^k entries (k = 1..n)."""
+    layers[k-1] has 2^k entries (k = 1..n). Jitted: ONE program per input
+    size instead of ~log2(N) eager tunnel dispatches (logup_layers below is
+    jitted for the same reason)."""
     layers = [v]
     while v.shape[-1] > 2:
         half = v.shape[-1] // 2
@@ -82,14 +85,17 @@ def _pack_layers(layers):
 
 @jax.jit
 def split_specs(layers):
-    """Split each (4, 2h) layer into contiguous halves — one XLA program per
-    level signature (avoids per-slice eager compiles through the axon tunnel)."""
+    """Split each (4, 2h) layer into contiguous halves, returned as ONE
+    (4, 2*S, h) block (cols ordered [lo_0, hi_0, lo_1, hi_1, ...]). A single
+    program output is load-bearing through the axon tunnel — tuple outputs
+    each pay a round trip (TODO.md findings); the sumcheck banks accept
+    (4, k, N) blocks."""
     out = []
     for l in layers:
         half = l.shape[-1] // 2
-        out.append(l[:, :half])
-        out.append(l[:, half:])
-    return tuple(out)
+        out.append(l[:, None, :half])
+        out.append(l[:, None, half:])
+    return jnp.concatenate(out, axis=1)
 
 
 @jax.jit
@@ -329,21 +335,23 @@ def prove_towers(
                     for i in (0, 1)
                 ]
             )
-            split = list(split_specs(level_layers))
-        ext_cols = [eq_col]
+        # ext bank: eq at 0, then 2 half-columns per layer in layer order —
+        # host appends per-column arrays, device ONE stacked block; the
+        # column POSITIONS (and so the terms and the proof bytes) match.
+        if use_host:
+            ext_cols = [eq_col] + split
+        else:
+            ext_cols = [eq_col, split_specs(level_layers)]
         term_list = []
         a = 0
+        li = 1
         for s in range(len(prod_lys)):
-            li = len(ext_cols)
-            ext_cols.extend(split[:2])
-            split = split[2:]
             term_list.append(TermSpec(alphas[a], eidx=(0, li, li + 1)))
+            li += 2
             a += 1
         for s in range(len(logup_lys)):
-            i0 = len(ext_cols)
-            ext_cols.extend(split[:4])
-            split = split[4:]
-            pL, pR, qL, qR = i0, i0 + 1, i0 + 2, i0 + 3
+            pL, pR, qL, qR = li, li + 1, li + 2, li + 3
+            li += 4
             term_list.append(TermSpec(alphas[a], eidx=(0, pL, qR)))
             term_list.append(TermSpec(alphas[a], eidx=(0, pR, qL)))
             term_list.append(TermSpec(alphas[a + 1], eidx=(0, qL, qR)))

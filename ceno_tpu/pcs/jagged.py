@@ -33,6 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import babybear as bb
@@ -115,6 +116,16 @@ def _point_key(z: np.ndarray) -> bytes:
     return np.ascontiguousarray(z, np.uint64).tobytes()
 
 
+@jax.jit
+def _weight_block(g, eq):
+    """Outer-product weight block: g (4, C, per) Monty gamma grid, eq (4, h)
+    -> ONE (4, C, per*h) array. A single program output is load-bearing:
+    per-column outputs each pay a tunnel round trip (measured 176s vs 0.04s
+    at the 2^20 bench shape); the sumcheck banks accept (4, k, N) blocks."""
+    w = ext4.mul(g[:, :, :, None], eq[:, None, None, :])  # (4, C, per, h)
+    return w.reshape(4, g.shape[1], -1)
+
+
 def open_jagged(committed, layout: JaggedLayout, claims: list,
                 transcript, params: BasefoldParams) -> JaggedOpening:
     from ..utils import spans
@@ -129,7 +140,8 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
     eq_cols: dict = {}     # point key -> ext col index
     eq_host_cache: dict = {}  # point key -> host (h, 4) eq table
     ext_cols: list = []
-    w_partial: dict = {}   # mat_col -> accumulating host (n_r, 4) array
+    w_partial: dict = {}   # host: mat_col -> accumulating (n_r, 4) array
+    dev_groups: dict = {}  # device: (point key, log_h) -> gamma grid
     terms: list = []
     for t, cl in enumerate(claims):
         ref = layout.slices[cl.slice_idx]
@@ -142,13 +154,13 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
                     ext_cols.append(H.build_eq_host(np.asarray(cl.z, np.uint64)))
                 else:
                     ext_cols.append(
-                        ops.build_eq(jnp.asarray(bb.np_to_monty(
+                        ops.build_eq_jit(jnp.asarray(bb.np_to_monty(
                             np.asarray(cl.z, np.uint64)
                         )))
                     )
             terms.append(TermSpec(gammas[t], bidx=(ref.mat_col,),
                                   eidx=(eq_cols[key],)))
-        else:
+        elif on_host:
             w = w_partial.get(ref.mat_col)
             if w is None:
                 w = w_partial[ref.mat_col] = np.zeros((n_r, 4), np.uint64)
@@ -160,23 +172,84 @@ def open_jagged(committed, layout: JaggedLayout, claims: list,
                 )  # (h, 4)
             lo = ref.sub_idx * h
             w[lo : lo + h] = exth.add(w[lo : lo + h], exth.mul(gammas[t], eq_h))
-
-    partial_cols = sorted(w_partial)
-    for c in partial_cols:
-        idx = len(ext_cols)
-        if on_host:
-            ext_cols.append(w_partial[c])
         else:
-            ext_cols.append(jnp.asarray(bb.np_to_monty(
-                w_partial[c].astype(np.uint32)
-            ).T))
+            # device: defer — handled after the loop (shared class weight
+            # columns; the remainder as per-column outer-product grids)
+            grp = dev_groups.setdefault((_point_key(cl.z), ref.log_h), {})
+            grp.setdefault("z", np.asarray(cl.z, np.uint64))
+            grp.setdefault("slots", {}).setdefault(
+                (ref.mat_col, ref.sub_idx), []
+            ).append(t)
+
+    # host path: materialized columns
+    for c in sorted(w_partial):
+        idx = len(ext_cols)
+        ext_cols.append(w_partial[c])
         terms.append(TermSpec(exth.one(), bidx=(c,), eidx=(idx,)))
+
+    # device path. KEY shrink: the claims of one (class, point) group carry
+    # CONSECUTIVE powers gamma^t in slice order (sub is the fastest index),
+    # so a matrix column whose `per` slices are all claimed with ts
+    # t0_c, t0_c+1, ..., t0_c+per-1 needs no private weight column at all:
+    #   w_c = gamma^{t0_c} * W_cls,   W_cls[sub*h + i] = gamma^sub * eq_z[i]
+    # ONE shared (4, n_r) column per group + a per-term scalar. Irregular
+    # leftovers (padding-truncated last columns, EC extra points, repeated
+    # slots) fall back to a per-column outer-product block. This keeps the
+    # translation ext bank ~10 columns instead of ~2 per chip — the bank is
+    # the fused sumcheck's main HBM/tunnel traffic.
+    ext_width = len(ext_cols)  # every item so far has width 1
+    for (pkey, log_h), grp in sorted(dev_groups.items(),
+                                     key=lambda kv: (kv[0][1], kv[0][0])):
+        h = 1 << log_h
+        per = n_r // h
+        slots = grp["slots"]
+        eq_dev = ops.build_eq_jit(jnp.asarray(bb.np_to_monty(grp["z"])))
+        cols = sorted({c for c, _ in slots})
+        regular, leftover = [], {}
+        for c in cols:
+            ts = [slots.get((c, sub)) for sub in range(per)]
+            if (ts[0] is not None and len(ts[0]) == 1
+                    and all(tv is not None and len(tv) == 1
+                            and tv[0] == ts[0][0] + sub
+                            for sub, tv in enumerate(ts))):
+                regular.append((c, ts[0][0]))
+            else:
+                for sub in range(per):
+                    if ts[sub] is not None:
+                        leftover.setdefault((c, sub), []).extend(ts[sub])
+        if regular:
+            g_cls = np.zeros((1, per, 4), np.uint64)
+            g_cls[0, :] = gammas[:per]  # regular run implies per <= len
+            g_dev = jnp.asarray(bb.np_to_monty(np.ascontiguousarray(
+                g_cls.transpose(2, 0, 1)
+            ).astype(np.uint32)))
+            ext_cols.append(_weight_block(g_dev, eq_dev))
+            for c, t0_c in regular:
+                terms.append(TermSpec(gammas[t0_c], bidx=(c,),
+                                      eidx=(ext_width,)))
+            ext_width += 1
+        if leftover:
+            lcols = sorted({c for c, _ in leftover})
+            g = np.zeros((len(lcols), per, 4), np.uint64)
+            cpos = {c: i for i, c in enumerate(lcols)}
+            for (c, sub), tvs in leftover.items():
+                for tv in tvs:
+                    g[cpos[c], sub] = exth.add(g[cpos[c], sub], gammas[tv])
+            g_dev = jnp.asarray(bb.np_to_monty(np.ascontiguousarray(
+                g.transpose(2, 0, 1)
+            ).astype(np.uint32)))
+            ext_cols.append(_weight_block(g_dev, eq_dev))
+            for i, c in enumerate(lcols):
+                terms.append(TermSpec(exth.one(), bidx=(c,),
+                                      eidx=(ext_width + i,)))
+            ext_width += len(lcols)
 
     if on_host:
         base_cols = [np.asarray(committed.cols[c], np.uint64)
                      for c in range(layout.n_mat_cols)]
     else:
-        base_cols = [committed.cols[c] for c in range(layout.n_mat_cols)]
+        with spans.span("base-col-slices"):
+            base_cols = [committed.cols[c] for c in range(layout.n_mat_cols)]
     _w_span.__exit__(None, None, None)
     with spans.span("trans-sumcheck"):
         out = sc_prover.prove(base_cols, ext_cols, terms, log_r, transcript)

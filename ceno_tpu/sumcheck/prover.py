@@ -83,7 +83,12 @@ def prove(
     input starts small / on host) the remaining rounds run in numpy — device
     dispatch and program count dominate below that size.
     """
-    n_base, n_ext = len(base_cols), len(ext_cols)
+    # ext items may be (4, k, N) device BLOCKS of k columns (see make_banks)
+    n_base = len(base_cols)
+    n_ext = sum(
+        c.shape[1] if (not isinstance(c, np.ndarray) and c.ndim == 3) else 1
+        for c in ext_cols
+    )
     n = 1 << n_vars
     bidx_np, eidx_np, scal_np, deg = compile_terms(term_list, n_base, n_ext)
     on_host = (n <= H.HOST_N) or (
@@ -92,14 +97,24 @@ def prove(
     )
     midx_np = T.merge_indices(bidx_np, eidx_np, n_base, n_ext)
 
+    from ..utils import spans
+
     if on_host:
         hbase = [np.asarray(_to_host_base(c), np.uint64) for c in base_cols]
-        hext = [np.asarray(_to_host_ext(c), np.uint64) for c in ext_cols]
+        hext = []
+        for c in ext_cols:
+            if not isinstance(c, np.ndarray) and c.ndim == 3:
+                blk = bb.np_from_monty(np.asarray(c)).astype(np.uint64)
+                for i in range(blk.shape[1]):  # (4, k, N) -> k of (N, 4)
+                    hext.append(np.ascontiguousarray(blk[:, i, :].T))
+            else:
+                hext.append(np.asarray(_to_host_ext(c), np.uint64))
         base_bank_h, ext_bank_h = H.make_banks_host(hbase, hext, n)
         merged_h = None
         base_bank = ext_bank = None
     else:
-        base_bank, ext_bank = T.make_banks(list(base_cols), list(ext_cols), n)
+        with spans.span("sc-make-banks"):
+            base_bank, ext_bank = T.make_banks(list(base_cols), list(ext_cols), n)
         base_bank_h = ext_bank_h = merged_h = None
     bidx = jnp.asarray(bidx_np)
     eidx = jnp.asarray(eidx_np)
@@ -120,14 +135,16 @@ def prove(
 
         k = n_vars
         st, pos, sq_pos, absorbed = transcript.export_state()
-        msgs_dev, end_state, merged = F.fused_rounds(
-            base_bank, ext_bank, bidx, eidx, midx, scalars,
-            jnp.asarray(bb.np_to_monty(st.astype(np.uint32))),
-            deg=deg, k=k, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
-            head=F.pick_head(k),
-        )
+        with spans.span("sc-fused-dispatch"):
+            msgs_dev, end_state, merged = F.fused_rounds(
+                base_bank, ext_bank, bidx, eidx, midx, scalars,
+                jnp.asarray(bb.np_to_monty(st.astype(np.uint32))),
+                deg=deg, k=k, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
+                head=F.pick_head(k),
+            )
         base_bank = ext_bank = None
-        fetched = bb.np_from_monty(np.asarray(msgs_dev)).astype(np.uint64)
+        with spans.span("sc-fused-fetch"):
+            fetched = bb.np_from_monty(np.asarray(msgs_dev)).astype(np.uint64)
         for r in range(k):
             msgs[r] = fetched[r]
             transcript.append(fetched[r].ravel())
@@ -137,7 +154,8 @@ def prove(
         assert np.array_equal(end_h, transcript.state), (
             "device duplex diverged from host transcript"
         )
-        mh = bb.np_from_monty(np.asarray(merged)).astype(np.uint64)
+        with spans.span("sc-merged-fetch"):
+            mh = bb.np_from_monty(np.asarray(merged)).astype(np.uint64)
         merged_h = np.moveaxis(mh, 0, -1)  # (C, size, 4)
         merged = None
         on_host = True

@@ -38,16 +38,17 @@ SMALL_N = 2048
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def make_banks(base_cols, ext_cols, n: int):
-    """Stack column lists into padded banks (appends the ones sentinel col)."""
+    """Stack column lists into padded banks (appends the ones sentinel col).
+
+    Ext items are (4, N) single columns or (4, k, N) pre-stacked BLOCKS
+    (k columns each) — blocks come from multi-output device kernels where
+    per-column outputs would each pay a transfer round trip."""
     base = (
         jnp.stack(base_cols) if base_cols else jnp.zeros((0, n), bb.DTYPE)
     )
     base = jnp.concatenate([base, bb.ones((1, n))], axis=0)
-    if ext_cols:
-        ext = jnp.stack(ext_cols, axis=1)  # (4, Ce, N)
-    else:
-        ext = jnp.zeros((4, 0, n), bb.DTYPE)
-    ext = jnp.concatenate([ext, ext4.ones((1, n))], axis=1)
+    parts = [c[:, None, :] if c.ndim == 2 else c for c in ext_cols]
+    ext = jnp.concatenate(parts + [ext4.ones((1, n))], axis=1)
     return base, ext
 
 
@@ -60,34 +61,46 @@ def _split(bank, axis):
 
 
 def _term_contrib(blo, bdiff, elo, ediff, scalar, deg: int):
-    """(deg+1, 4) contributions of one term; b* are (DB, half), e* (4, DE, half)."""
+    """(deg+1, 4) contributions of one term; b* are (DB, half), e* (4, DE, half).
+
+    The node axis is VECTORIZED: every field op is batched over the deg+1
+    univariate nodes instead of being traced per node. Tracing cost is per
+    traced op (~ms each through this jax version) and dominates fresh-process
+    warmup, so ~(deg+1)x fewer ops means ~(deg+1)x faster tracing. The math
+    (cumulative node adds, ascending product order) is unchanged —
+    byte-identical round messages."""
     db = blo.shape[0]
     de = elo.shape[1]
-    outs = []
-    bcur, ecur = blo, elo
-    for t in range(deg + 1):
-        if t > 0:
-            bcur = bb.add(bcur, bdiff) if db else bcur
-            ecur = bb.add(ecur, ediff) if de else ecur
-        # base product over DB axis
-        if db:
-            pb = bcur[0]
-            for k in range(1, db):
-                pb = bb.mul(pb, bcur[k])
-        else:
-            pb = None
-        if de:
-            pe = ecur[:, 0]
-            for k in range(1, de):
-                pe = ext4.mul(pe, ecur[:, k])
-            if pb is not None:
-                pe = ext4.mul_base(pe, pb)
-            s = bb.sum_mod(pe, axis=-1)  # (4,)
-        else:
-            s0 = bb.sum_mod(pb, axis=-1)
-            s = jnp.stack([s0, jnp.zeros_like(s0), jnp.zeros_like(s0), jnp.zeros_like(s0)])
-        outs.append(ext4.mul(scalar, s))
-    return jnp.stack(outs)  # (deg+1, 4)
+
+    def nodes(lo, diff):
+        outs = [lo]
+        cur = lo
+        for _ in range(deg):
+            cur = bb.add(cur, diff)
+            outs.append(cur)
+        return jnp.stack(outs)  # (deg+1,) + lo.shape
+
+    if db:
+        bn = nodes(blo, bdiff)             # (deg+1, DB, half)
+        pb = bn[:, 0]
+        for k in range(1, db):
+            pb = bb.mul(pb, bn[:, k])      # batched over nodes
+    else:
+        pb = None
+    if de:
+        en = jnp.moveaxis(nodes(elo, ediff), 0, 1)  # (4, deg+1, DE, half)
+        pe = en[:, :, 0]
+        for k in range(1, de):
+            pe = ext4.mul(pe, en[:, :, k])          # (4, deg+1, half)
+        if pb is not None:
+            pe = ext4.mul_base(pe, pb)
+        s = bb.sum_mod(pe, axis=-1)                 # (4, deg+1)
+    else:
+        s0 = bb.sum_mod(pb, axis=-1)                # (deg+1,)
+        z = jnp.zeros_like(s0)
+        s = jnp.stack([s0, z, z, z])
+    out = ext4.mul(scalar[:, None], s)              # (4, deg+1)
+    return jnp.moveaxis(out, 0, 1)                  # (deg+1, 4)
 
 
 @functools.partial(jax.jit, static_argnames=("deg",))

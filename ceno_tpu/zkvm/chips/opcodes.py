@@ -152,13 +152,15 @@ class ChipDef:
     assign_fn: object  # callable(view: TraceView) -> dict[str, np.ndarray]
     rows_per_step: int = 1  # witness rows per selected step (keccak core: 24)
 
-    def assign(self, view: TraceView) -> np.ndarray:
+    def assign(self, view: TraceView, pad_to: int = 0) -> np.ndarray:
+        """Fill the chip matrix; ``pad_to`` allocates the (pow2-padded)
+        final width up front so witgen skips a second full copy."""
         cols = self.assign_fn(view)
         n = view.n * self.rows_per_step
-        out = np.zeros((len(self.cb.wit_names), n), np.uint64)
+        out = np.zeros((len(self.cb.wit_names), max(pad_to, n)), np.uint64)
         for i, name in enumerate(self.cb.wit_names):
             if name in cols:
-                out[i] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+                out[i, :n] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
         missing = set(self.cb.wit_names) - set(cols)
         extra = set(cols) - set(self.cb.wit_names)
         assert not missing, f"{self.name}: unassigned cols {missing}"

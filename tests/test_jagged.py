@@ -65,6 +65,28 @@ def test_jagged_open_verify_roundtrip():
     jagged.verify_jagged(committed.root, layout, claims, proof, tv, PARAMS)
 
 
+def test_jagged_device_path_matches_host():
+    """The device open (on-device outer-product weight blocks) must produce
+    a byte-identical proof to the host path and verify."""
+    import jax.numpy as jnp
+
+    layout, mat, committed_h, claims = _setup()
+    committed_d = basefold.commit(
+        jnp.asarray(bb.np_to_monty(mat.astype(np.uint32))), PARAMS
+    )
+    tp_h = Transcript(b"jagged-test")
+    proof_h = jagged.open_jagged(committed_h, layout, claims, tp_h, PARAMS)
+    tp_d = Transcript(b"jagged-test")
+    proof_d = jagged.open_jagged(committed_d, layout, claims, tp_d, PARAMS)
+    assert np.array_equal(proof_h.trans_msgs, proof_d.trans_msgs)
+    assert np.array_equal(proof_h.v_evals, proof_d.v_evals)
+    assert np.array_equal(
+        proof_h.opening.sumcheck_msgs, proof_d.opening.sumcheck_msgs
+    )
+    tv = Transcript(b"jagged-test")
+    jagged.verify_jagged(committed_d.root, layout, claims, proof_d, tv, PARAMS)
+
+
 def test_jagged_rejects_wrong_claim():
     layout, mat, committed, claims = _setup()
     tp = Transcript(b"jagged-test")
