@@ -107,20 +107,91 @@ def compile_chip(cb: CircuitBuilder) -> CompiledChip:
 # Structural column materialization + analytic evaluation
 # ---------------------------------------------------------------------------
 
-def structural_table(spec: StructuralSpec, n: int) -> np.ndarray:
-    """Canonical values of a structural column of length n (host)."""
-    assert spec.kind == "incremental"
-    return (spec.start + spec.step * np.arange(n, dtype=np.uint64)) % np.uint64(bb.P)
+def structural_table(spec: StructuralSpec, n: int,
+                     instances=None) -> np.ndarray:
+    """Canonical values of a structural column of length n (host).
+    See StructuralSpec for the variant semantics (StructuralWitInType
+    mirror); ``instances`` supplies the public values for the dynamic
+    variant."""
+    p = np.uint64(bb.P)
+    i = np.arange(n, dtype=np.uint64)
+    if spec.kind in ("incremental", "incremental_dynamic"):
+        start = (
+            int(np.asarray(instances, np.uint64)[spec.start])
+            if spec.kind == "incremental_dynamic" else spec.start
+        ) % bb.P
+        stepped = spec.step % bb.P * i % p
+        if spec.descending:
+            return (np.uint64(start) + p - stepped) % p
+        return (np.uint64(start) + stepped) % p
+    if spec.kind == "stacked_incremental":
+        # i - 2^floor(log2 i): floor-log2 exactly via bit_length
+        out = np.zeros(n, np.uint64)
+        bl = np.frompyfunc(lambda x: int(x).bit_length() - 1, 1, 1)(i[1:])
+        out[1:] = (i[1:] - (np.uint64(1) << bl.astype(np.uint64))) % p
+        return out
+    if spec.kind == "stacked_constant":
+        out = np.zeros(n, np.uint64)
+        bl = np.frompyfunc(lambda x: int(x).bit_length() - 1, 1, 1)(i[1:])
+        out[1:] = bl.astype(np.uint64) % p
+        return out
+    if spec.kind == "inner_repeat":
+        return (i >> np.uint64(spec.k)) % p
+    if spec.kind == "outer_repeat":
+        return (i & np.uint64((1 << spec.k) - 1)) % p
+    if spec.kind == "empty":
+        return np.zeros(n, np.uint64)
+    raise ValueError(f"unknown structural kind {spec.kind}")
 
 
-def structural_eval(spec: StructuralSpec, point: np.ndarray) -> np.ndarray:
-    """MLE eval of the structural column at canonical point (n, 4)."""
-    assert spec.kind == "incremental"
-    acc = exth.from_base(spec.start % bb.P)
+def _wellform_eval(point: np.ndarray, offset: int, step: int,
+                   descending: bool) -> np.ndarray:
+    """offset +- step * (sum_j point[j] * 2^j) — the incremental MLE."""
+    acc = np.zeros(4, np.uint64)
     for j in range(point.shape[0]):
-        w = (spec.step % bb.P) * pow(2, j, bb.P) % bb.P
+        w = step % bb.P * pow(2, j, bb.P) % bb.P
         acc = exth.add(acc, exth.mul_base(point[j], np.uint64(w)))
-    return acc
+    if descending:
+        acc = exth.sub(exth.from_base(0), acc)
+    return exth.add(exth.from_base(offset % bb.P), acc)
+
+
+def structural_eval(spec: StructuralSpec, point: np.ndarray,
+                    instances=None) -> np.ndarray:
+    """Analytic MLE eval of a structural column at canonical point (n, 4)
+    (verifier side — no PCS opening needed)."""
+    point = np.asarray(point, np.uint64)
+    if spec.kind in ("incremental", "incremental_dynamic"):
+        start = (
+            int(np.asarray(instances, np.uint64)[spec.start])
+            if spec.kind == "incremental_dynamic" else spec.start
+        )
+        return _wellform_eval(point, start, spec.step, spec.descending)
+    if spec.kind == "inner_repeat":
+        return _wellform_eval(point[spec.k:], 0, 1, False)
+    if spec.kind == "outer_repeat":
+        return _wellform_eval(point[: spec.k], 0, 1, False)
+    one = exth.one()
+    if spec.kind == "stacked_incremental":
+        acc = np.zeros(4, np.uint64)
+        for j in range(1, point.shape[0]):
+            inner = _wellform_eval(point[:j], 0, 1, False)
+            acc = exth.add(
+                exth.mul(acc, exth.sub(one, point[j])),
+                exth.mul(inner, point[j]),
+            )
+        return acc
+    if spec.kind == "stacked_constant":
+        acc = np.zeros(4, np.uint64)
+        for j in range(1, point.shape[0]):
+            acc = exth.add(
+                exth.mul(acc, exth.sub(one, point[j])),
+                exth.mul_base(point[j], np.uint64(j % bb.P)),
+            )
+        return acc
+    if spec.kind == "empty":
+        return np.zeros(4, np.uint64)
+    raise ValueError(f"unknown structural kind {spec.kind}")
 
 
 def sel_prefix_sum(point: np.ndarray, k: int) -> np.ndarray:
@@ -922,7 +993,7 @@ def verify_class_main(
         fe = np.asarray(class_proof.fixed_evals[i], np.uint64)
         se = np.asarray(class_proof.structural_evals[i], np.uint64)
         for j, spec in enumerate(compiled.structural):
-            if not np.array_equal(se[j], structural_eval(spec, point)):
+            if not np.array_equal(se[j], structural_eval(spec, point, instances)):
                 raise ChipError(f"{compiled.name}: structural column {j} eval mismatch")
         col_evals = (
             np.concatenate([we, fe, se], axis=0)
@@ -1006,7 +1077,7 @@ def verify_chip(
 
     # structural evals must match their analytic values
     for i, spec in enumerate(compiled.structural):
-        expect = structural_eval(spec, point)
+        expect = structural_eval(spec, point, instances)
         if not np.array_equal(proof.structural_evals[i], expect):
             raise ChipError(f"{compiled.name}: structural column {i} eval mismatch")
 

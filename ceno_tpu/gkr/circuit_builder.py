@@ -57,11 +57,27 @@ LK_XOR8 = 16
 
 @dataclass
 class StructuralSpec:
-    """Verifier-evaluable column. kind: 'incremental' (start + step*i)."""
+    """Verifier-evaluable column (StructuralWitInType mirror — the
+    reference's 7 variants, multilinear_extensions StructuralWitInType,
+    analytic evals gkr_iop/src/utils.rs:215-310).
+
+    kinds (i = hypercube row index, LSB-first variables):
+      'incremental'          start + step*i  (start - step*i if descending)
+      'incremental_dynamic'  like incremental with start = pv[start]
+                             (EqualDistanceDynamicSequence: the offset is a
+                             public-value slot, known to the verifier)
+      'stacked_incremental'  [0 | 0 | 0,1 | 0..3 | ...]: i - 2^floor(log2 i)
+      'stacked_constant'     [0 | 0 | 1,1 | 2,2,2,2 | ...]: floor(log2 i)
+      'inner_repeat'         i >> k  (each value repeated 2^k times)
+      'outer_repeat'         i mod 2^k  ([0..2^k-1] tiled)
+      'empty'                all zeros
+    """
 
     kind: str
     start: int = 0
     step: int = 1
+    descending: bool = False
+    k: int = 0
 
 
 @dataclass

@@ -116,7 +116,7 @@ class MockProver:
         for compiled, cb, wit, fixed, instances, k in chips:
             n = wit.shape[1] if compiled.n_wit else 1
             structural = np.stack(
-                [structural_table(s, n) for s in compiled.structural]
+                [structural_table(s, n, instances) for s in compiled.structural]
             ) if compiled.structural else np.zeros((0, n), np.uint64)
             memo = {}
             for name, expr in cb.zeros:

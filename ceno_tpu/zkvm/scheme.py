@@ -321,7 +321,8 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
             continue
         n = a.n_rows
         structural = (
-            np.stack([structural_table(s, n) for s in a.compiled.structural])
+            np.stack([structural_table(s, n, public_values)
+                      for s in a.compiled.structural])
             if a.compiled.structural
             else np.zeros((0, n), np.uint64)
         )

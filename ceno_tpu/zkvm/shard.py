@@ -79,7 +79,8 @@ def _ram_events(assigned, instances):
             continue
         n = a.wit.shape[1]
         structural = (
-            np.stack([structural_table(s, n) for s in a.compiled.structural])
+            np.stack([structural_table(s, n, instances)
+                      for s in a.compiled.structural])
             if a.compiled.structural
             else np.zeros((0, n), np.uint64)
         )

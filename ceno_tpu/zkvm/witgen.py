@@ -50,7 +50,8 @@ def _lk_counts(cb, compiled, wit, instances, k, counts: dict):
     """Evaluate chip-side lookup fields over active rows; bump counters."""
     n = wit.shape[1] if wit.size else 2
     structural = (
-        np.stack([structural_table(s, n) for s in compiled.structural])
+        np.stack([structural_table(s, n, instances)
+                  for s in compiled.structural])
         if compiled.structural
         else np.zeros((0, n), np.uint64)
     )
@@ -74,7 +75,15 @@ def _lk_counts(cb, compiled, wit, instances, k, counts: dict):
             keys = np.zeros(k, np.uint64)
             for j, w_ in enumerate(widths):
                 keys = (keys << np.uint64(w_)) | stacked[:, j]
-            uk, cnt = np.unique(keys, return_counts=True)
+            if sum(widths) <= 20:
+                # narrow key space: O(n) bincount beats the unique sort
+                counts_arr = np.bincount(
+                    keys.astype(np.int64), minlength=1 << sum(widths)
+                )
+                uk = np.nonzero(counts_arr)[0].astype(np.uint64)
+                cnt = counts_arr[uk.astype(np.int64)]
+            else:
+                uk, cnt = np.unique(keys, return_counts=True)
             for key, c in zip(uk, cnt):
                 key = int(key)
                 row = []
@@ -103,7 +112,8 @@ def assign_opcode_chips(view, opcode_chips: list[ChipDef]):
         covered |= mask
         idx = np.nonzero(mask)[0]
         k = len(idx) * chip.rows_per_step
-        wit = chip.assign(view.select(idx)) if k else np.zeros(
+        n_pad = max(2, 1 << max(0, (k - 1).bit_length()))
+        wit = chip.assign(view.select(idx), pad_to=n_pad) if k else np.zeros(
             (len(chip.cb.wit_names), 0), np.uint64
         )
         wit = _pad_pow2(wit, k)

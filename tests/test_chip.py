@@ -197,3 +197,54 @@ def test_chip_tampered_witness_rejected():
         assert False, "broken constraint must fail"
     except (ChipError, Exception):
         pass
+
+
+def test_structural_variants_table_matches_eval():
+    """Every StructuralWitInType variant: the materialized table's MLE
+    evaluated at a random point equals the analytic structural_eval."""
+    from ceno_tpu.fields import ext4_host as exth
+    from ceno_tpu.gkr.chip import structural_eval, structural_table
+    from ceno_tpu.gkr.circuit_builder import StructuralSpec
+    from ceno_tpu.sumcheck import host_impl as H
+
+    n_vars, n = 5, 32
+    instances = np.array([0, 12345, 7], np.uint64)
+    specs = [
+        StructuralSpec("incremental", start=100, step=3),
+        StructuralSpec("incremental", start=900, step=7, descending=True),
+        StructuralSpec("incremental_dynamic", start=1, step=4),
+        StructuralSpec("stacked_incremental"),
+        StructuralSpec("stacked_constant"),
+        StructuralSpec("inner_repeat", k=2),
+        StructuralSpec("outer_repeat", k=3),
+        StructuralSpec("empty"),
+    ]
+    point = rng.integers(0, bb.P, size=(n_vars, 4)).astype(np.uint64)
+    eq = H.build_eq_host(point)
+    for spec in specs:
+        table = structural_table(spec, n, instances)
+        assert table.shape == (n,)
+        acc = np.zeros(4, np.uint64)
+        for i in range(n):
+            acc = exth.add(acc, exth.mul_base(eq[i], np.uint64(table[i])))
+        expect = structural_eval(spec, point, instances)
+        assert np.array_equal(acc, expect), spec
+
+
+def test_structural_variant_tables_exact():
+    """Spot-check the variant tables against their defining sequences."""
+    from ceno_tpu.gkr.chip import structural_table
+    from ceno_tpu.gkr.circuit_builder import StructuralSpec
+
+    t = structural_table(StructuralSpec("stacked_incremental"), 8)
+    assert t.tolist() == [0, 0, 0, 1, 0, 1, 2, 3]
+    t = structural_table(StructuralSpec("stacked_constant"), 8)
+    assert t.tolist() == [0, 0, 1, 1, 2, 2, 2, 2]
+    t = structural_table(StructuralSpec("inner_repeat", k=1), 8)
+    assert t.tolist() == [0, 0, 1, 1, 2, 2, 3, 3]
+    t = structural_table(StructuralSpec("outer_repeat", k=2), 8)
+    assert t.tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+    t = structural_table(
+        StructuralSpec("incremental", start=10, step=2, descending=True), 4
+    )
+    assert t.tolist() == [10, 8, 6, 4]
