@@ -1,0 +1,127 @@
+"""Recursive-verifier chips: the sumcheck-verify rounds chip + endpoints
+chip verify REAL sumcheck transcripts in-circuit (RECURSION.md #2) —
+MockProver satisfaction, bus balance, and full prove/verify."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ceno_tpu.fields import babybear as bb
+from ceno_tpu.fields import ext4_host as exth
+from ceno_tpu.gkr import recursion as R
+from ceno_tpu.gkr.chip import prove_chip, verify_chip
+from ceno_tpu.gkr.mock import MockProver
+from ceno_tpu.hash.transcript import Transcript
+from ceno_tpu.sumcheck import prover as sc_prover
+from ceno_tpu.sumcheck.prover import TermSpec
+
+rng = np.random.default_rng(23)
+N_VARS, DEG = 4, 3
+
+
+def _real_transcripts(m):
+    """Run m real host sumchecks; return their verifier-side artifacts."""
+    out = []
+    for i in range(m):
+        n = 1 << N_VARS
+        f = rng.integers(0, bb.P, size=n, dtype=np.uint64)
+        g = rng.integers(0, bb.P, size=(n, 4), dtype=np.uint64)
+        h = rng.integers(0, bb.P, size=(n, 4), dtype=np.uint64)
+        scalar = rng.integers(0, bb.P, size=4, dtype=np.uint64)
+        acc = np.zeros(4, np.uint64)
+        for j in range(n):
+            acc = exth.add(
+                acc, exth.mul_base(exth.mul(g[j], h[j]), np.uint64(f[j]))
+            )
+        claim = exth.mul(scalar, acc)
+        tp = Transcript(b"rec-test-%d" % i)
+        res = sc_prover.prove(
+            [f], [g, h], [TermSpec(scalar, bidx=(0,), eidx=(0, 1))],
+            N_VARS, tp,
+        )
+        # chals in round order (res.point is LSB-first = reversed rounds)
+        chals = res.point[::-1].copy()
+        out.append({"msgs": res.proof.round_msgs, "chals": chals,
+                    "claim": claim})
+    return out
+
+
+def _pad(wit, k):
+    n = max(2, 1 << max(0, (k - 1).bit_length()))
+    if wit.shape[1] < n:
+        wit = np.pad(wit, ((0, 0), (0, n - wit.shape[1])))
+    return wit
+
+
+def test_sumcheck_verify_chips_mock_and_tamper():
+    chips = R.build_sumcheck_verify_chips(DEG, N_VARS)
+    trs = _real_transcripts(3)
+    rounds_wit, ends_wit, _ = R.assign_sumcheck_verify(chips, trs)
+    kr, ke = rounds_wit.shape[1], ends_wit.shape[1]
+    rw = _pad(rounds_wit, kr)
+    ew = _pad(ends_wit, ke)
+    sets = [
+        (chips.rounds_compiled, chips.rounds_cb, rw,
+         np.zeros((0, rw.shape[1]), np.uint64), np.zeros(0), kr),
+        (chips.ends_compiled, chips.ends_cb, ew,
+         np.zeros((0, ew.shape[1]), np.uint64), np.zeros(0), ke),
+    ]
+    assert MockProver.assert_satisfied(sets) == []
+
+    # tampering one round message must break either the local Lagrange
+    # equation or the bus chain
+    bad = rw.copy()
+    yi = chips.rounds_cb.wit_names.index("y2_1")
+    bad[yi, 5] = (int(bad[yi, 5]) + 1) % bb.P
+    sets_bad = [
+        (chips.rounds_compiled, chips.rounds_cb, bad,
+         np.zeros((0, rw.shape[1]), np.uint64), np.zeros(0), kr),
+        sets[1],
+    ]
+    errs = MockProver.assert_satisfied(sets_bad, raise_on_error=False)
+    assert errs
+
+
+def test_sumcheck_verify_chips_prove_and_verify():
+    chips = R.build_sumcheck_verify_chips(DEG, N_VARS)
+    trs = _real_transcripts(2)
+    rounds_wit, ends_wit, final_claims = R.assign_sumcheck_verify(chips, trs)
+    kr, ke = rounds_wit.shape[1], ends_wit.shape[1]
+    rw = _pad(rounds_wit, kr)
+    ew = _pad(ends_wit, ke)
+    challenges = rng.integers(1, bb.P, size=(2, 4), dtype=np.uint64)
+
+    def dev(x):
+        return jnp.asarray(
+            bb.np_to_monty(np.asarray(x, np.uint64).astype(np.uint32))
+        )
+
+    tp = Transcript(b"rec-prove")
+    proofs = []
+    for compiled, wit, k in (
+        (chips.rounds_compiled, rw, kr), (chips.ends_compiled, ew, ke),
+    ):
+        n = wit.shape[1]
+        proof, opening = prove_chip(
+            compiled, dev(wit), dev(np.zeros((0, n), np.uint64)),
+            dev(np.zeros((0, n), np.uint64)), np.zeros(0), k, challenges, tp,
+        )
+        proofs.append(proof)
+
+    tv = Transcript(b"rec-prove")
+    prod_r = exth.one()
+    prod_w = exth.one()
+    for compiled, proof in (
+        (chips.rounds_compiled, proofs[0]), (chips.ends_compiled, proofs[1]),
+    ):
+        opening, prod_values, _ = verify_chip(
+            compiled, proof, np.zeros(0), challenges, tv
+        )
+        prod_r = exth.mul(prod_r, prod_values[0])
+        prod_w = exth.mul(prod_w, prod_values[1])
+    # the claim-chain bus must balance across the two chips
+    assert np.array_equal(prod_r, prod_w)
+
+    # the endpoints chip pins the real final claims
+    fc = np.asarray(final_claims, np.uint64)
+    base = chips.ends_cb.wit_names.index("final_claim_0")
+    assert np.array_equal(ew[base : base + 4, :2].T, fc)
