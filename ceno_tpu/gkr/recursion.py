@@ -37,6 +37,7 @@ from .circuit_builder import CircuitBuilder, RAM_CUSTOM
 from .chip import compile_chip
 
 TAG_SUMCHECK_CLAIM = 3  # RAM_CUSTOM sub-tag (keccak state = 2)
+TAG_SPONGE_STATE = 4    # transcript duplex state chain (fs chips below)
 
 
 @dataclass
@@ -129,3 +130,180 @@ def assign_sumcheck_verify(chips: SumcheckVerifyChips, transcripts: list):
     for i, name in enumerate(chips.ends_cb.wit_names):
         ends_wit[i] = np.asarray(ecols[name], np.uint64) % np.uint64(bb.P)
     return rounds_wit, ends_wit, final_claims
+
+
+# ---------------------------------------------------------------------------
+# Fiat-Shamir-complete sumcheck verification (RECURSION.md build order #3):
+# the round chip DERIVES the challenge from an in-circuit Poseidon2 duplex
+# instead of witnessing it. A row = one sumcheck round of one instance:
+#
+#   * reads  (SpongeState,   inst, r, state[16])   -- the duplex before the
+#     round (after the label flush, written by the endpoints chip for r=0)
+#   * absorb permutation A: in_A = state + msg[0:8] at the rate slots
+#   * absorb permutation B: in_B = out_A + msg[8:16]
+#   * alpha = out_B[0:4]   (BasicTranscript: 16-elem absorb = permute between
+#     slots 7/8; the sample permutes again and reads rate slots 0..3 — so a
+#     deg-3 round is EXACTLY two permutations, mirrored bit-for-bit from
+#     hash/transcript.py; tests assert equality with a live Transcript)
+#   * reads  (SumcheckClaim, inst, r, claim_in), checks y0+y1 == claim_in,
+#     writes (SumcheckClaim, inst, r+1, Lagrange(msg, alpha))
+#   * writes (SpongeState,   inst, r+1, out_B)
+#
+# The endpoints chip performs the round-0 FLUSH permutation in-circuit
+# (label-digest block absorbed before the first sample, transcript.py
+# semantics), pinning the label digest and initial claim as witness wires
+# the outer statement binds, and closes both bus chains.
+# ---------------------------------------------------------------------------
+
+from ..zkvm.chips.poseidon2_gadget import Lin, assign_poseidon2, build_poseidon2
+from ..hash import poseidon2 as p2
+from ..hash.transcript import Transcript
+
+
+@dataclass
+class FsSumcheckVerifyChips:
+    rounds_cb: CircuitBuilder
+    rounds_compiled: object
+    ends_cb: CircuitBuilder
+    ends_compiled: object
+    deg: int
+    n_vars: int
+
+
+def build_fs_sumcheck_verify_chips(deg: int, n_vars: int) -> FsSumcheckVerifyChips:
+    assert deg == 3, "fs round chip models the 16-elem absorb (deg 3) schedule"
+    cb = CircuitBuilder("fs_sumcheck_rounds")
+    inst = cb.create_witin("inst")
+    rnd = cb.create_witin("round")
+    ys = [G.ext_witness(cb, f"y{k}") for k in range(deg + 1)]
+    state_in = [cb.create_witin(f"st{j}") for j in range(p2.WIDTH)]
+    # duplex: two permutations with the message as rate blocks
+    msg_elems = [c for y in ys for c in y.c]   # 16 wires, transcript order
+    lin_a = [Lin.col(state_in[j]) + Lin.col(msg_elems[j]) for j in range(8)]
+    lin_a += [Lin.col(state_in[j]) for j in range(8, p2.WIDTH)]
+    out_a = build_poseidon2(cb, "pa", lin_a)
+    lin_b = [out_a[j] + Lin.col(msg_elems[8 + j]) for j in range(8)]
+    lin_b += list(out_a[8:])
+    out_b = build_poseidon2(cb, "pb", lin_b)
+    alpha = G.ExtWire(*[out_b[j].to_expr() for j in range(4)])
+    claim_in = G.ext_witness(cb, "claim_in")
+    G.ext_require_equal(cb, "sum_check", ys[0].add(ys[1]), claim_in)
+    claim_out = G.lagrange_extrapolate_gadget(cb, "lag", ys, alpha, deg)
+    chead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), inst]
+    cb.read_record(chead + [rnd] + claim_in.c)
+    cb.write_record(chead + [rnd + 1] + claim_out.c)
+    shead = [E.Const(RAM_CUSTOM), E.Const(TAG_SPONGE_STATE), inst]
+    cb.read_record(shead + [rnd] + [Lin.col(s).to_expr() for s in state_in])
+    cb.write_record(shead + [rnd + 1] + [o.to_expr() for o in out_b])
+    rounds_compiled = compile_chip(cb)
+
+    # endpoints: flush permutation + chain ends (one row per instance)
+    eb = CircuitBuilder("fs_sumcheck_ends")
+    einst = eb.create_witin("inst")
+    pre = [eb.create_witin(f"pre{j}") for j in range(p2.WIDTH)]  # pre-flush
+    flushed = build_poseidon2(eb, "pf", [Lin.col(w) for w in pre])
+    init_claim = G.ext_witness(eb, "init_claim")
+    final_claim = G.ext_witness(eb, "final_claim")
+    final_state = [eb.create_witin(f"fin{j}") for j in range(p2.WIDTH)]
+    chead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), einst]
+    eb.write_record(chead + [E.Const(0)] + init_claim.c)
+    eb.read_record(chead + [E.Const(n_vars)] + final_claim.c)
+    shead = [E.Const(RAM_CUSTOM), E.Const(TAG_SPONGE_STATE), einst]
+    eb.write_record(shead + [E.Const(0)] + [o.to_expr() for o in flushed])
+    eb.read_record(
+        shead + [E.Const(n_vars)] + [Lin.col(w).to_expr() for w in final_state]
+    )
+    ends_compiled = compile_chip(eb)
+    return FsSumcheckVerifyChips(cb, rounds_compiled, eb, ends_compiled,
+                                 deg, n_vars)
+
+
+def assign_fs_sumcheck_verify(chips: FsSumcheckVerifyChips, transcripts: list):
+    """Witgen; ``transcripts`` per instance:
+        msgs  (n_vars, deg+1, 4) round messages
+        claim (4,) initial claim
+        pre_state (16,) sponge state right BEFORE the round-0 flush
+          (i.e. a host Transcript's state after its label/statement absorbs)
+    Challenges are NOT inputs — they are what the duplex produces. Returns
+    (rounds_wit, ends_wit, final_claims, final_states)."""
+    deg, n_vars = chips.deg, chips.n_vars
+    m = len(transcripts)
+    n_rows = m * n_vars
+    cols: dict = {
+        "inst": np.repeat(np.arange(m, dtype=np.uint64), n_vars),
+        "round": np.tile(np.arange(n_vars, dtype=np.uint64), m),
+    }
+    ys = np.zeros((n_rows, deg + 1, 4), np.uint64)
+    claim_in = np.zeros((n_rows, 4), np.uint64)
+    state_in = np.zeros((n_rows, p2.WIDTH), np.uint64)
+    alphas = np.zeros((n_rows, 4), np.uint64)
+    pre_states = np.zeros((m, p2.WIDTH), np.uint64)
+    init_claims = np.zeros((m, 4), np.uint64)
+    final_claims = np.zeros((m, 4), np.uint64)
+    final_states = np.zeros((m, p2.WIDTH), np.uint64)
+    from ..sumcheck.verifier import lagrange_extrapolate
+
+    for i, tr in enumerate(transcripts):
+        msgs = np.asarray(tr["msgs"], np.uint64)
+        cur = np.asarray(tr["claim"], np.uint64)
+        pre_states[i] = np.asarray(tr["pre_state"], np.uint64)
+        init_claims[i] = cur
+        st = p2.permute_host(pre_states[i])  # the flush
+        for r in range(n_vars):
+            row = i * n_vars + r
+            ys[row] = msgs[r]
+            claim_in[row] = cur
+            state_in[row] = st
+            flat = msgs[r].reshape(-1)
+            st = st.copy()
+            st[:8] = (st[:8] + flat[:8]) % np.uint64(bb.P)
+            st = p2.permute_host(st)
+            st[:8] = (st[:8] + flat[8:]) % np.uint64(bb.P)
+            st = p2.permute_host(st)
+            alphas[row] = st[:4]
+            cur = lagrange_extrapolate(msgs[r], st[:4])
+        final_claims[i] = cur
+        final_states[i] = st
+    for k in range(deg + 1):
+        G.assign_ext(cols, f"y{k}", ys[:, k])
+    for j in range(p2.WIDTH):
+        cols[f"st{j}"] = state_in[:, j]
+    G.assign_ext(cols, "claim_in", claim_in)
+    # permutation sites A and B
+    in_a = state_in.copy()
+    in_a[:, :8] = (in_a[:, :8] + ys.reshape(n_rows, -1)[:, :8]) % np.uint64(bb.P)
+    ua, wa, out_a = assign_poseidon2(in_a)
+    names_a = [n for n in chips.rounds_cb.wit_names if n.startswith("pa_")]
+    vals_a = [v for uw in zip(ua, wa) for v in uw]
+    for name, v in zip(names_a, vals_a):
+        cols[name] = v
+    in_b = out_a.copy()
+    in_b[:, :8] = (in_b[:, :8] + ys.reshape(n_rows, -1)[:, 8:]) % np.uint64(bb.P)
+    ub, wb, out_b = assign_poseidon2(in_b)
+    names_b = [n for n in chips.rounds_cb.wit_names if n.startswith("pb_")]
+    vals_b = [v for uw in zip(ub, wb) for v in uw]
+    for name, v in zip(names_b, vals_b):
+        cols[name] = v
+    assert np.array_equal(out_b[:, :4], alphas)
+    G.assign_lagrange(cols, "lag", ys, alphas, deg)
+    rounds_wit = np.zeros((len(chips.rounds_cb.wit_names), n_rows), np.uint64)
+    for i, name in enumerate(chips.rounds_cb.wit_names):
+        assert name in cols, name
+        rounds_wit[i] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+
+    ecols: dict = {"inst": np.arange(m, dtype=np.uint64)}
+    for j in range(p2.WIDTH):
+        ecols[f"pre{j}"] = pre_states[:, j]
+        ecols[f"fin{j}"] = final_states[:, j]
+    uf, wf, _flushed = assign_poseidon2(pre_states)
+    names_f = [n for n in chips.ends_cb.wit_names if n.startswith("pf_")]
+    vals_f = [v for uw in zip(uf, wf) for v in uw]
+    for name, v in zip(names_f, vals_f):
+        ecols[name] = v
+    G.assign_ext(ecols, "init_claim", init_claims)
+    G.assign_ext(ecols, "final_claim", final_claims)
+    ends_wit = np.zeros((len(chips.ends_cb.wit_names), m), np.uint64)
+    for i, name in enumerate(chips.ends_cb.wit_names):
+        assert name in ecols, name
+        ends_wit[i] = np.asarray(ecols[name], np.uint64) % np.uint64(bb.P)
+    return rounds_wit, ends_wit, final_claims, final_states

@@ -125,3 +125,64 @@ def test_sumcheck_verify_chips_prove_and_verify():
     fc = np.asarray(final_claims, np.uint64)
     base = chips.ends_cb.wit_names.index("final_claim_0")
     assert np.array_equal(ew[base : base + 4, :2].T, fc)
+
+
+def test_fs_sumcheck_verify_full_fiat_shamir():
+    """The FS chips verify a REAL transcript-driven sumcheck end-to-end: the
+    in-circuit duplex must reproduce the live Transcript's challenges, the
+    claim chain must close, and tampering a message must break a row."""
+    from ceno_tpu.gkr.recursion import (
+        build_fs_sumcheck_verify_chips, assign_fs_sumcheck_verify,
+    )
+
+    chips = build_fs_sumcheck_verify_chips(DEG, N_VARS)
+    # a real sumcheck driven by a real Transcript whose state at round 0
+    # has the canonical pos=8 shape (fresh transcript = label digest absorb)
+    n = 1 << N_VARS
+    f = rng.integers(0, bb.P, size=n, dtype=np.uint64)
+    g = rng.integers(0, bb.P, size=(n, 4), dtype=np.uint64)
+    h = rng.integers(0, bb.P, size=(n, 4), dtype=np.uint64)
+    scalar = rng.integers(0, bb.P, size=4, dtype=np.uint64)
+    acc = np.zeros(4, np.uint64)
+    for j in range(n):
+        acc = exth.add(acc, exth.mul_base(exth.mul(g[j], h[j]), np.uint64(f[j])))
+    claim = exth.mul(scalar, acc)
+    tp = Transcript(b"fs-rec")
+    pre_state = tp.state.copy()  # pos == 8 (label digest), pre-flush
+    res = sc_prover.prove(
+        [f], [g, h], [TermSpec(scalar, bidx=(0,), eidx=(0, 1))], N_VARS, tp
+    )
+    trs = [{"msgs": res.proof.round_msgs, "claim": claim,
+            "pre_state": pre_state}]
+    rw, ew, final_claims, final_states = assign_fs_sumcheck_verify(chips, trs)
+    # the in-circuit duplex reproduced the live transcript's challenges:
+    # the final reduced claim equals scalar * f(pt) * g(pt) * h(pt)
+    expect = exth.mul(scalar, exth.mul_base(
+        exth.mul(res.final_ext[0], res.final_ext[1]),
+        # final_base[0] is (4,) ext form of the base col eval
+        np.uint64(1),
+    ))
+    expect = exth.mul(expect, res.final_base[0])
+    assert np.array_equal(final_claims[0], expect)
+
+    kr, ke = rw.shape[1], ew.shape[1]
+    rwp, ewp = _pad(rw, kr), _pad(ew, ke)
+    sets = [
+        (chips.rounds_compiled, chips.rounds_cb, rwp,
+         np.zeros((0, rwp.shape[1]), np.uint64), np.zeros(0), kr),
+        (chips.ends_compiled, chips.ends_cb, ewp,
+         np.zeros((0, ewp.shape[1]), np.uint64), np.zeros(0), ke),
+    ]
+    assert MockProver.assert_satisfied(sets) == []
+
+    # tamper one message element: the duplex output diverges -> some
+    # constraint or the bus chain must break
+    bad = rwp.copy()
+    yi = chips.rounds_cb.wit_names.index("y1_2")
+    bad[yi, 1] = (int(bad[yi, 1]) + 1) % bb.P
+    errs = MockProver.assert_satisfied(
+        [(chips.rounds_compiled, chips.rounds_cb, bad,
+          np.zeros((0, rwp.shape[1]), np.uint64), np.zeros(0), kr), sets[1]],
+        raise_on_error=False,
+    )
+    assert errs
