@@ -307,3 +307,135 @@ def assign_fs_sumcheck_verify(chips: FsSumcheckVerifyChips, transcripts: list):
         assert name in ecols, name
         ends_wit[i] = np.asarray(ecols[name], np.uint64) % np.uint64(bb.P)
     return rounds_wit, ends_wit, final_claims, final_states
+
+
+# ---------------------------------------------------------------------------
+# Merkle-path chip (RECURSION.md build order #4): one row = one tree level
+# of one query walk. The row muxes (cur, sib) by the index bit, runs the
+# 2-to-1 Poseidon2 compression in-circuit (compress = permute(l||r)[:8],
+# hash/poseidon2.py:225), and chains (digest, index) over the bus:
+#
+#   reads  (MerklePath, qid, level,   idx,      cur[8])
+#   writes (MerklePath, qid, level+1, idx_next, out[8])
+#   with   idx == 2 * idx_next + bit,  bit boolean
+#
+# The endpoints chip writes each query's (leaf digest, leaf index) at level
+# 0 and reads the walk's end at a fixed depth, pinning leaf digest, index,
+# depth, and root as witness wires for the outer statement.
+# ---------------------------------------------------------------------------
+
+TAG_MERKLE_PATH = 5
+
+
+@dataclass
+class MerklePathChips:
+    rows_cb: CircuitBuilder
+    rows_compiled: object
+    ends_cb: CircuitBuilder
+    ends_compiled: object
+    depth: int
+
+
+def build_merkle_path_chips(depth: int) -> MerklePathChips:
+    cb = CircuitBuilder("merkle_path_rows")
+    qid = cb.create_witin("qid")
+    level = cb.create_witin("level")
+    idx = cb.create_witin("idx")
+    idx_next = cb.create_witin("idx_next")
+    bit = cb.create_witin("bit")
+    cb.assert_bit("bit_bool", bit)
+    cb.require_zero("idx_split", idx - (idx_next * 2 + bit))
+    cur = [cb.create_witin(f"cur{j}") for j in range(8)]
+    sib = [cb.create_witin(f"sib{j}") for j in range(8)]
+    # mux: left = bit ? sib : cur ; right = bit ? cur : sib. Lin carries
+    # only constant coefficients, so the muxed halves are witnessed wires
+    # tied down by the degree-2 select equations below.
+    lw = [cb.create_witin(f"l{j}") for j in range(8)]
+    rw = [cb.create_witin(f"r{j}") for j in range(8)]
+    for j in range(8):
+        cb.require_zero(f"mux_l{j}", lw[j] - (cur[j] + bit * (sib[j] - cur[j])))
+        cb.require_zero(f"mux_r{j}", rw[j] - (sib[j] + bit * (cur[j] - sib[j])))
+    state = [Lin.col(w) for w in lw] + [Lin.col(w) for w in rw]
+    out = build_poseidon2(cb, "pc", state)
+    head = [E.Const(RAM_CUSTOM), E.Const(TAG_MERKLE_PATH), qid]
+    cb.read_record(head + [level, idx] + [Lin.col(c).to_expr() for c in cur])
+    cb.write_record(head + [level + 1, idx_next]
+                    + [out[j].to_expr() for j in range(8)])
+    rows_compiled = compile_chip(cb)
+
+    eb = CircuitBuilder("merkle_path_ends")
+    eqid = eb.create_witin("qid")
+    leaf_idx = eb.create_witin("leaf_idx")
+    leaf = [eb.create_witin(f"leaf{j}") for j in range(8)]
+    root = [eb.create_witin(f"root{j}") for j in range(8)]
+    ehead = [E.Const(RAM_CUSTOM), E.Const(TAG_MERKLE_PATH), eqid]
+    eb.write_record(ehead + [E.Const(0), leaf_idx]
+                    + [Lin.col(w).to_expr() for w in leaf])
+    eb.read_record(ehead + [E.Const(depth), E.Const(0)]
+                   + [Lin.col(w).to_expr() for w in root])
+    ends_compiled = compile_chip(eb)
+    return MerklePathChips(cb, rows_compiled, eb, ends_compiled, depth)
+
+
+def assign_merkle_paths(chips: MerklePathChips, walks: list):
+    """Witgen. ``walks``: per query dict with
+        index (int), leaf (8,) digest, path (depth, 8) sibling digests.
+    Returns (rows_wit, ends_wit, roots (m, 8))."""
+    depth = chips.depth
+    m = len(walks)
+    n_rows = m * depth
+    qid = np.repeat(np.arange(m, dtype=np.uint64), depth)
+    level = np.tile(np.arange(depth, dtype=np.uint64), m)
+    idx = np.zeros(n_rows, np.uint64)
+    bit = np.zeros(n_rows, np.uint64)
+    idx_next = np.zeros(n_rows, np.uint64)
+    cur = np.zeros((n_rows, 8), np.uint64)
+    sib = np.zeros((n_rows, 8), np.uint64)
+    leaf_idx = np.zeros(m, np.uint64)
+    leafs = np.zeros((m, 8), np.uint64)
+    roots = np.zeros((m, 8), np.uint64)
+    for i, w in enumerate(walks):
+        ix = int(w["index"])
+        leaf_idx[i] = ix
+        d = np.asarray(w["leaf"], np.uint64)
+        leafs[i] = d
+        path = np.asarray(w["path"], np.uint64)
+        assert path.shape == (depth, 8)
+        for lv in range(depth):
+            row = i * depth + lv
+            idx[row] = ix
+            bit[row] = ix & 1
+            idx_next[row] = ix >> 1
+            cur[row] = d
+            sib[row] = path[lv]
+            l, r = (path[lv], d) if ix & 1 else (d, path[lv])
+            d = p2.compress_host(l, r)
+            ix >>= 1
+        roots[i] = d
+    lw = np.where(bit[:, None] == 1, sib, cur)
+    rw_ = np.where(bit[:, None] == 1, cur, sib)
+    cols = {"qid": qid, "level": level, "idx": idx, "idx_next": idx_next,
+            "bit": bit}
+    for j in range(8):
+        cols[f"cur{j}"] = cur[:, j]
+        cols[f"sib{j}"] = sib[:, j]
+        cols[f"l{j}"] = lw[:, j]
+        cols[f"r{j}"] = rw_[:, j]
+    up, wp, _out = assign_poseidon2(np.concatenate([lw, rw_], axis=1))
+    names_p = [n for n in chips.rows_cb.wit_names if n.startswith("pc_")]
+    vals_p = [v for uw in zip(up, wp) for v in uw]
+    for name, v in zip(names_p, vals_p):
+        cols[name] = v
+    rows_wit = np.zeros((len(chips.rows_cb.wit_names), n_rows), np.uint64)
+    for i, name in enumerate(chips.rows_cb.wit_names):
+        assert name in cols, name
+        rows_wit[i] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+
+    ecols = {"qid": np.arange(m, dtype=np.uint64), "leaf_idx": leaf_idx}
+    for j in range(8):
+        ecols[f"leaf{j}"] = leafs[:, j]
+        ecols[f"root{j}"] = roots[:, j]
+    ends_wit = np.zeros((len(chips.ends_cb.wit_names), m), np.uint64)
+    for i, name in enumerate(chips.ends_cb.wit_names):
+        ends_wit[i] = np.asarray(ecols[name], np.uint64) % np.uint64(bb.P)
+    return rows_wit, ends_wit, roots

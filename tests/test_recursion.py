@@ -186,3 +186,48 @@ def test_fs_sumcheck_verify_full_fiat_shamir():
         raise_on_error=False,
     )
     assert errs
+
+
+def test_merkle_path_chips_verify_real_paths():
+    """Merkle-path chips verify REAL basefold Merkle tree openings
+    in-circuit (RECURSION.md #4)."""
+    from ceno_tpu.gkr.recursion import (
+        build_merkle_path_chips, assign_merkle_paths,
+    )
+    from ceno_tpu.pcs.merkle import MerkleTree, verify_path
+    from ceno_tpu.hash import poseidon2 as p2
+
+    depth = 5
+    n_leaves = 1 << depth
+    cols = rng.integers(0, bb.P, size=(3, n_leaves), dtype=np.uint64)
+    tree = MerkleTree.build_host(cols)
+    chips = build_merkle_path_chips(depth)
+    walks = []
+    for ix in (0, 7, 31):
+        path = tree.open_paths([ix])[0]  # (depth, 8)
+        assert verify_path(tree.root, ix, cols[:, ix], path)
+        leaf = p2.hash_elements_host(cols[:, ix])
+        walks.append({"index": ix, "leaf": leaf, "path": path})
+    rw, ew, roots = assign_merkle_paths(chips, walks)
+    # every walk must land on the tree root
+    for i in range(len(walks)):
+        assert np.array_equal(roots[i], tree.root)
+    kr, ke = rw.shape[1], ew.shape[1]
+    rwp, ewp = _pad(rw, kr), _pad(ew, ke)
+    sets = [
+        (chips.rows_compiled, chips.rows_cb, rwp,
+         np.zeros((0, rwp.shape[1]), np.uint64), np.zeros(0), kr),
+        (chips.ends_compiled, chips.ends_cb, ewp,
+         np.zeros((0, ewp.shape[1]), np.uint64), np.zeros(0), ke),
+    ]
+    assert MockProver.assert_satisfied(sets) == []
+    # tamper one sibling: the compression chain must break
+    bad = rwp.copy()
+    si = chips.rows_cb.wit_names.index("sib3")
+    bad[si, 2] = (int(bad[si, 2]) + 1) % bb.P
+    errs = MockProver.assert_satisfied(
+        [(chips.rows_compiled, chips.rows_cb, bad,
+          np.zeros((0, rwp.shape[1]), np.uint64), np.zeros(0), kr), sets[1]],
+        raise_on_error=False,
+    )
+    assert errs
