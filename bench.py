@@ -106,13 +106,18 @@ def _tpu_prove():
         log(f"  {line}")
     t0 = time.time()
     assert verify(pk.vk, proof)
-    log(f"verify ok in {time.time() - t0:.1f}s")
+    verify_dt = time.time() - t0
+    log(f"verify ok in {verify_dt:.1f}s")
+    from ceno_tpu.zkvm.serialize import proof_to_bytes
+
+    proof_bytes = len(proof_to_bytes(proof, pv, cfg, params))
+    log(f"proof size: {proof_bytes / 1024:.1f} KiB")
     assigned = generate_witness(
         trace, pk.opcode_chips, pk.tables, vm, pv, cfg,
         shard_chips=pk.shard_chips, dyn_chips=pk.dyn_chips,
     )
     mults = _estimate_field_mults(pk, assigned)
-    return dt, trace.n, mults
+    return dt, trace.n, mults, verify_dt, proof_bytes
 
 
 def _host_baseline() -> float:
@@ -147,7 +152,7 @@ def _host_baseline() -> float:
 
 
 def main():
-    tpu_dt, n_steps, mults = _tpu_prove()
+    tpu_dt, n_steps, mults, verify_dt, proof_bytes = _tpu_prove()
     cache = os.path.join(os.path.dirname(__file__), ".bench_host_baseline.json")
     host_dt = None
     try:
@@ -172,6 +177,8 @@ def main():
                 "vs_baseline": ratio,
                 "steps_per_s": round(n_steps / tpu_dt),
                 "field_mults_per_s": f"{mults / tpu_dt:.3e}",
+                "verify_s": round(verify_dt, 2),
+                "proof_kib": round(proof_bytes / 1024, 1),
             }
         )
     )

@@ -277,6 +277,21 @@ def prove(pk: ProvingKey, vm, records, public_values: np.ndarray,
                 opcode_assigned=opcode_assigned, data_image=pk.data_image,
             )
 
+    # MOCK_PROVING mirror (e2e.rs:2069, mock_prover.rs:956): with
+    # CENO_MOCK_PROVING set, row-check every constraint and the global
+    # record/lookup multisets on this shard BEFORE proving — turns a
+    # cryptic failed proof into a named per-row constraint error.
+    import os as _os
+
+    if _os.environ.get("CENO_MOCK_PROVING"):
+        from ..gkr.mock import MockProver
+
+        MockProver.assert_satisfied([
+            (a.compiled, a.cb, a.wit,
+             _fixed_matrix(pk, a, a.n_rows), public_values, a.num_instances)
+            for a in assigned if a.num_instances > 0
+        ])
+
     # group witness columns by height, commit per class. Chips with zero
     # instances are skipped ENTIRELY (no commit, no tower, no main slot) —
     # the reference does the same (prover.rs chips iterate assigned

@@ -69,3 +69,40 @@ def test_mock_catches_bad_witness():
             break
     errs = MockProver.assert_satisfied(chips, raise_on_error=False)
     assert errs, "corruption must be detected"
+
+
+def test_mock_proving_env_gate_catches_bad_witness(monkeypatch):
+    """CENO_MOCK_PROVING=1 (MOCK_PROVING e2e mirror): prove() row-checks
+    every chip before proving and reports a named constraint error."""
+    import pytest
+
+    from ceno_tpu.emulator import programs, native
+    from ceno_tpu.pcs.basefold import BasefoldParams
+    from ceno_tpu.zkvm import witgen as W
+    from ceno_tpu.zkvm.e2e import public_values_from_vm
+    from ceno_tpu.zkvm.scheme import keygen, prove
+    from ceno_tpu.zkvm.tables import ZKVMConfig
+
+    cfg = ZKVMConfig(shl_x_bits=6, mem_words_log=7)
+    params = BasefoldParams(blowup_log=1, n_queries=4, stop_size=32)
+    vm = programs.fibonacci_vm(40)
+    trace = native.run_trace(vm)
+    pv = public_values_from_vm(vm, cfg)
+    pk = keygen(vm.program, cfg, params)
+    monkeypatch.setenv("CENO_MOCK_PROVING", "1")
+
+    orig = W.generate_witness
+
+    def corrupting(*a, **kw):
+        assigned = orig(*a, **kw)
+        for ch in assigned:
+            if ch.name == "add" and ch.num_instances:
+                ch.wit[3, 0] = (int(ch.wit[3, 0]) + 1) % 2013265921
+                break
+        return assigned
+
+    import ceno_tpu.zkvm.scheme as scheme
+
+    monkeypatch.setattr(scheme, "generate_witness", corrupting)
+    with pytest.raises(AssertionError, match="MockProver failures"):
+        prove(pk, vm, trace, pv)
