@@ -222,7 +222,10 @@ def _expand(expr: Expr) -> list[tuple[Expr, tuple]]:
     if isinstance(expr, (Const, ExtConst, Challenge, ChallengePow, Instance)):
         return [(expr, ())]
     if isinstance(expr, Neg):
-        return [(Prod([Const(bb.P - 1), s]), c) for s, c in _expand(expr.inner)]
+        # keep negation SYMBOLIC (evaluated mod whichever field evaluates
+        # the scalar): baking Const(p-1) here would hardwire BabyBear into
+        # every compiled slot, breaking the Goldilocks path (gl/zkvm.py)
+        return [(Neg(s), c) for s, c in _expand(expr.inner)]
     if isinstance(expr, Sum):
         out = []
         for t in expr.terms:

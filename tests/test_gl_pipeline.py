@@ -146,3 +146,72 @@ def test_gl_pcs_rejects_tampered_tail():
         def t(proof, values):
             proof.tail[0, 0] = (int(proof.tail[0, 0]) + 1) % P
         _pcs_roundtrip(tamper=t)
+
+
+def test_gl_zkvm_chip_proves_real_add_circuit():
+    """The REAL rv32im ADD chip (same compiled circuit the BabyBear zkVM
+    proves) proves and verifies over GoldilocksExt2 — the `--field
+    goldilocks` capability on actual circuits (gl/zkvm.py)."""
+    from ceno_tpu.emulator import programs, native
+    from ceno_tpu.gl import zkvm as gz
+    from ceno_tpu.gl.pcs import GlParams
+    from ceno_tpu.zkvm.chips import build_all_chips
+    from ceno_tpu.zkvm.chips.opcodes import TraceView
+    from ceno_tpu.zkvm.e2e import public_values_from_vm
+    from ceno_tpu.zkvm.tables import ZKVMConfig
+    from ceno_tpu.zkvm.witgen import assign_opcode_chips
+
+    vm = programs.fibonacci_vm(40)
+    trace = native.run_trace(vm)
+    view = TraceView.from_records(trace) if not isinstance(trace, TraceView) \
+        else trace
+    chips = build_all_chips()
+    assigned = assign_opcode_chips(view, chips)
+    add = next(a for a in assigned if a.name == "add" and a.num_instances)
+    pv = public_values_from_vm(vm, ZKVMConfig(shl_x_bits=6, mem_words_log=7))
+    params = GlParams(blowup_log=1, n_queries=4, pow_bits=4, stop_size=16)
+    # field-specific witness columns: the is-zero gadget's inverse witness
+    # must be the GL inverse (witgen targets BabyBear; --field goldilocks
+    # witgen recomputes these, gl/zkvm.py docstring)
+    wit = np.asarray(add.wit, np.uint64).copy()
+    wn = add.cb.wit_names
+    wit[wn.index("rd_idinv")] = gl.inv(wit[wn.index("rd_id")])
+    proof = gz.prove_chip_gl(add.compiled, wit, pv, add.num_instances,
+                             params)
+    prod_values, logup_fracs = gz.verify_chip_gl(add.compiled, proof, pv,
+                                                 params)
+    # cross-check a tower total against direct GL evaluation of the records
+    from ceno_tpu.fields import gl2_host as g2
+    prods, logups = gz.build_records_gl(
+        add.compiled, wit,
+        np.zeros((0, wit.shape[1]), np.uint64),
+        np.zeros((0, wit.shape[1]), np.uint64), pv,
+        _replay_challenges(proof), add.num_instances,
+    )
+    direct = g2.one()
+    for row in prods[0]:
+        direct = g2.mul(direct, row)
+    assert np.array_equal(prod_values[0], direct)
+
+    # tamper a LOCALLY-constrained cell (the is-zero flag: breaks the
+    # rd_z_def zero constraint; pure record fields are only bound by the
+    # cross-chip bus, which a single-chip demo cannot check)
+    bad_wit = wit.copy()
+    zc = wn.index("rd_iszero")
+    bad_wit[zc, 1] = (int(bad_wit[zc, 1]) + 1) % (2**64 - 2**32 + 1)
+    bad = gz.prove_chip_gl(add.compiled, bad_wit, pv, add.num_instances,
+                           params)
+    from ceno_tpu.gl.sumcheck import GlSumcheckError
+    from ceno_tpu.gl.pcs import GlPCSError
+    with pytest.raises((gz.GlZkvmError, GlSumcheckError, GlPCSError)):
+        gz.verify_chip_gl(add.compiled, bad, pv, params)
+
+
+def _replay_challenges(proof):
+    from ceno_tpu.fields import gl_host as gl
+    from ceno_tpu.gl.transcript import GlTranscript
+
+    t = GlTranscript(b"ceno-gl/chip/v1")
+    t.append(np.asarray(proof.root, np.uint64))
+    t.append([proof.num_instances % gl.P])
+    return np.stack([t.sample_ext(), t.sample_ext()])
