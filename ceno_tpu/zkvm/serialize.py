@@ -250,7 +250,14 @@ def proof_from_bytes(data: bytes):
     if data[:8] != MAGIC:
         raise ProofFormatError("not a ceno-tpu proof (bad magic)")
     r = _Reader(data[8:])
-    obj = _decode(r, _whitelist())
+    try:
+        obj = _decode(r, _whitelist())
+    except ProofFormatError:
+        raise
+    except Exception as e:  # malformed input must NEVER escape as an
+        # implementation-detail exception (the decoder is an attacker
+        # surface; callers catch ProofFormatError only)
+        raise ProofFormatError(f"malformed proof: {type(e).__name__}") from None
     if r.pos != len(r.data):
         raise ProofFormatError("trailing bytes after proof")
     if not isinstance(obj, dict):

@@ -75,3 +75,41 @@ def test_no_pickle_in_decoder():
     src = inspect.getsource(serialize)
     assert "import pickle" not in src and "pickle.loads" not in src
     assert not hasattr(serialize, "pickle")
+
+
+def test_decoder_fuzz_random_and_mutated(fib_result):
+    """Attacker-supplied proof bytes must raise ProofFormatError-family
+    exceptions quickly — never crash the process, hang, or execute code."""
+    import numpy as np
+
+    from ceno_tpu.zkvm.serialize import (
+        MAGIC, ProofFormatError, proof_from_bytes, proof_to_bytes,
+    )
+
+    rng = np.random.default_rng(41)
+    # pure random buffers (with and without the magic)
+    for n in (0, 1, 7, 8, 64, 4096):
+        raw = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        try:
+            proof_from_bytes(raw)
+            assert False, "random bytes parsed as a proof"
+        except ProofFormatError:
+            pass
+        try:
+            proof_from_bytes(MAGIC + raw)
+            assert False, "random payload parsed as a proof"
+        except ProofFormatError:
+            pass
+    # bit-flip mutations of a REAL proof: decode must either fail cleanly
+    # or produce an object (which verify would then reject) — no crashes
+    res = fib_result
+    blob = bytearray(proof_to_bytes(res.proof, res.public_values,
+                                    res.pk.cfg, res.pk.params))
+    for _ in range(200):
+        pos = int(rng.integers(8, len(blob)))
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            proof_from_bytes(bytes(mut))
+        except ProofFormatError:
+            pass
