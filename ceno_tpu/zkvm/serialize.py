@@ -23,7 +23,7 @@ import struct
 
 import numpy as np
 
-MAGIC = b"CENOTPU2"
+MAGIC = b"CENOTPU3"  # v3: packed uint32 payloads for sub-2^32 uint64 arrays
 
 # Hard ceilings for untrusted input (a 2^24-row proof is far below these).
 MAX_ARRAY_BYTES = 1 << 31
@@ -101,12 +101,23 @@ def _encode(buf: io.BytesIO, obj, depth: int = 0) -> None:
         code = _DTYPE_CODES.get(obj.dtype)
         if code is None:
             raise ProofFormatError(f"unsupported dtype {obj.dtype}")
-        buf.write(b"A")
-        buf.write(bytes([code]))
-        _w_varint(buf, obj.ndim)
-        for s in obj.shape:
-            _w_varint(buf, s)
-        buf.write(np.ascontiguousarray(obj).tobytes())
+        if obj.dtype == np.uint64 and (
+            obj.size == 0 or int(obj.max()) < (1 << 32)
+        ):
+            # canonical BabyBear values are < 2^31: pack the payload as
+            # uint32 (halves the proof; decode restores uint64)
+            buf.write(b"a")
+            _w_varint(buf, obj.ndim)
+            for s in obj.shape:
+                _w_varint(buf, s)
+            buf.write(np.ascontiguousarray(obj.astype(np.uint32)).tobytes())
+        else:
+            buf.write(b"A")
+            buf.write(bytes([code]))
+            _w_varint(buf, obj.ndim)
+            for s in obj.shape:
+                _w_varint(buf, s)
+            buf.write(np.ascontiguousarray(obj).tobytes())
     elif isinstance(obj, (list, tuple)):
         buf.write(b"L")
         _w_varint(buf, len(obj))
@@ -192,6 +203,21 @@ def _decode(r: _Reader, wl: dict, depth: int = 0):
         if nbytes > MAX_ARRAY_BYTES:
             raise ProofFormatError("array too large")
         return np.frombuffer(r.take(nbytes), dtype=dt).reshape(shape).copy()
+    if tag == b"a":  # packed uint64 (uint32 payload)
+        ndim = r.varint()
+        if ndim > 8:
+            raise ProofFormatError("array rank too large")
+        shape = tuple(r.varint() for _ in range(ndim))
+        count = 1
+        for s_ in shape:
+            count *= s_
+        nbytes = count * 4
+        if nbytes > MAX_ARRAY_BYTES:
+            raise ProofFormatError("array too large")
+        return (
+            np.frombuffer(r.take(nbytes), dtype=np.uint32)
+            .reshape(shape).astype(np.uint64)
+        )
     if tag == b"L":
         n = r.varint()
         if n > MAX_CONTAINER:
