@@ -69,8 +69,11 @@ def product_layers(v):
 import os as _os
 
 # with CENO_TPU_FUSED=1, device levels are ~1 fused call each, so only trivial
-# levels stay in numpy; otherwise (per-round dispatch) host handles small ones
-_TOWER_HOST_N = (
+# levels stay in numpy; otherwise (per-round dispatch) host handles small ones.
+# CENO_TPU_TOWER_HOST_N overrides: small device levels are tunnel-latency
+# bound (~0.2-0.6s each), so routing levels below ~2^16 to the vectorized
+# host kernels can beat the device (measure per deployment).
+_TOWER_HOST_N = int(_os.environ.get("CENO_TPU_TOWER_HOST_N", 0)) or (
     min(H.HOST_N, 256)
     if _os.environ.get("CENO_TPU_FUSED", "0") == "1" and H.HOST_N < (1 << 16)
     else H.HOST_N
