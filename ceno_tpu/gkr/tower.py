@@ -51,7 +51,6 @@ from ..sumcheck.prover import TermSpec
 # ---------------------------------------------------------------------------
 
 @jax.jit
-@jax.jit
 def product_layers(v):
     """All layers of the product tree, input (4, N) ext -> [layer1, ..., input].
 
@@ -312,7 +311,15 @@ def prove_towers(
         for s in range(len(logup_lys))
     ]
 
+    use_fused_tower = _os.environ.get("CENO_TPU_FUSED_TOWER", "1") == "1"
     for level in range(1, n_vars):
+        if use_fused_tower and 2 * (1 << level) > _TOWER_HOST_N:
+            # ALL remaining (device) levels in ONE XLA program
+            rt, prod_claims, logup_claims = _prove_levels_fused(
+                proof, prod_lys, logup_lys, level, n_vars, rt,
+                prod_claims, logup_claims, transcript,
+            )
+            break
         n_claims = len(prod_claims) + 2 * len(logup_claims)
         alphas = transcript.sample_ext_pows(n_claims)
         half = 1 << level
@@ -497,3 +504,215 @@ def verify_towers(
         np.stack([np.stack(c) for c in logup_claims]) if logup_claims else np.zeros((0, 2, 4), np.uint64)
     )
     return rt, prod_claims, logup_claims, prod_values, logup_fracs
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused device tower: ALL device levels in ONE XLA program with the
+# on-device duplex (sumcheck/fused.py pattern extended across levels). Each
+# level samples its batching alpha, builds eq(rt) in-kernel, runs the
+# level's sumcheck rounds (unrolled head + stretched lax.scan tail), absorbs
+# the level evals and samples mu — so a tower group pays ONE dispatch+fetch
+# instead of one per level (~0.3-1.3s each through the axon tunnel). The
+# host replays the identical absorb/sample sequence afterwards; proofs are
+# byte-identical to the per-level path (env CENO_TPU_FUSED_TOWER=0 falls
+# back, tests compare).
+# ---------------------------------------------------------------------------
+
+from ..sumcheck.fused import _DeviceDuplex, pick_head, SCAN_MAX_LOG  # noqa: E402
+from ..sumcheck.prover import compile_terms  # noqa: E402
+
+
+def _level_static(n_prod: int, n_logup: int, level: int):
+    """Static per-level term structure: (bidx, eidx, midx, alpha_idx, deg)."""
+    from ..sumcheck.prover import TermSpec
+    from ..sumcheck import terms as T
+
+    dummy = np.zeros(4, np.uint64)
+    dummy[0] = 1
+    term_list = []
+    alpha_idx = []
+    li = 1
+    a = 0
+    for _ in range(n_prod):
+        term_list.append(TermSpec(dummy, eidx=(0, li, li + 1)))
+        alpha_idx.append(a)
+        li += 2
+        a += 1
+    for _ in range(n_logup):
+        pL, pR, qL, qR = li, li + 1, li + 2, li + 3
+        li += 4
+        term_list.append(TermSpec(dummy, eidx=(0, pL, qR)))
+        term_list.append(TermSpec(dummy, eidx=(0, pR, qL)))
+        term_list.append(TermSpec(dummy, eidx=(0, qL, qR)))
+        alpha_idx += [a, a, a + 1]
+        a += 2
+    n_ext = li - 1 + 1  # eq + split cols
+    bidx, eidx, scal, deg = compile_terms(term_list, 0, n_ext)
+    # compile_terms pads the term count to a pow2 with zero-scalar sentinel
+    # terms: pad alpha_idx to match, pointing the sentinels at a ZERO slot
+    # appended to the power table (see the pows construction in the kernel)
+    n_pad = bidx.shape[0] - len(alpha_idx)
+    n_claims = n_prod + 2 * n_logup
+    alpha_idx = alpha_idx + [n_claims] * n_pad
+    midx = T.merge_indices(bidx, eidx, 0, n_ext)
+    return (jnp.asarray(bidx), jnp.asarray(eidx), jnp.asarray(midx),
+            np.asarray(alpha_idx, np.int32), deg)
+
+
+def _fused_tower_levels_impl(level_layers, t_state, rt1, *, n_prod, n_logup,
+                             first_level, n_vars, pos, sq_pos, absorbed):
+    from ..sumcheck import terms as T
+
+    duplex = _DeviceDuplex(t_state, pos, sq_pos, absorbed)
+    n_claims = n_prod + 2 * n_logup
+    rt = rt1  # (v, 4) Monty, LSB-first
+    flat_parts = []
+    for idx, level in enumerate(range(first_level, n_vars)):
+        bidx, eidx, midx, alpha_idx, deg = _level_static(
+            n_prod, n_logup, level
+        )
+        alpha = duplex.sample_ext()
+        pows = [jnp.asarray(
+            np.array([bb.MONTY_ONE, 0, 0, 0], np.uint32)
+        )]
+        for _ in range(1, n_claims):
+            pows.append(ext4.mul(pows[-1], alpha))
+        pows.append(jnp.zeros(4, jnp.uint32))    # sentinel slot (padding)
+        pows = jnp.stack(pows, axis=1)           # (4, n_claims + 1)
+        scalars = pows[:, alpha_idx]             # (4, T_padded)
+        eq_col = ops.build_eq(rt)                # (4, 2^level)
+        blocks = []
+        for l in level_layers[idx]:              # raw (4, 2^level) layers
+            half_ = l.shape[-1] // 2
+            blocks.append(l[:, None, :half_])
+            blocks.append(l[:, None, half_:])
+        base_bank, ext_bank = T.make_banks(
+            [], [eq_col, jnp.concatenate(blocks, axis=1)], 1 << level
+        )
+        # round loop: head unrolled + stretched scan (fused_rounds logic,
+        # with the sampled challenges collected for the rt update)
+        head = pick_head(level)
+        msgs = []
+        chals = []
+        merged = None
+        for rnd in range(head + 1):
+            if rnd == 0:
+                ev = T.round_evals(base_bank, ext_bank, bidx, eidx, scalars,
+                                   deg=deg)
+            else:
+                ev = T.round_evals_ext(merged, midx, scalars, deg=deg)
+            msgs.append(ev)
+            duplex.append(ev.reshape(-1))
+            ch = duplex.sample_ext()
+            chals.append(ch)
+            if rnd == 0:
+                merged = T.fold_banks(base_bank, ext_bank, ch)
+            else:
+                merged = T.fold_ext_bank(merged, ch)
+        n_scan = level - 1 - head
+        if n_scan > 0:
+            inv2 = pow(2, bb.P - 2, bb.P)
+            invf = jnp.asarray(bb.np_to_monty(
+                np.array([pow(inv2, j, bb.P) for j in range(n_scan)],
+                         np.uint64).astype(np.uint32)
+            ))
+
+            def body(carry, invf_j):
+                bank, st = carry
+                d = _DeviceDuplex(st, 0, 4, False)
+                ev = T.round_evals_ext(bank, midx, scalars, deg=deg)
+                ev = bb.mul(invf_j, ev)
+                d.append(ev.reshape(-1))
+                ch = d.sample_ext()
+                half = bank.shape[2] // 2
+                a_ = bank[:, :, :half]
+                b_ = bank[:, :, half:]
+                c_ = ext4.add(a_, ext4.mul(ch[:, None, None],
+                                           ext4.sub(b_, a_)))
+                return (jnp.repeat(c_, 2, axis=2), d.state), (ev, ch)
+
+            (merged, st), (scan_msgs, scan_chals) = jax.lax.scan(
+                body, (merged, duplex.state), invf
+            )
+            duplex.state = st
+            duplex.pos, duplex.sq_pos, duplex.absorbed = 0, 4, False
+            msgs = jnp.concatenate([jnp.stack(msgs), scan_msgs], axis=0)
+            chals = jnp.concatenate([jnp.stack(chals), scan_chals], axis=0)
+        else:
+            msgs = jnp.stack(msgs)
+            chals = jnp.stack(chals)
+        evals = merged[:, 1:-1, 0]               # (4, S_e): drop eq+sentinel
+        duplex.append(evals.T.reshape(-1))
+        mu = duplex.sample_ext()
+        rt = jnp.concatenate([chals[::-1], mu[None, :]], axis=0)
+        flat_parts.append(msgs.reshape(-1))
+        flat_parts.append(evals.T.reshape(-1))
+    return jnp.concatenate(flat_parts), duplex.state
+
+
+_fused_tower_levels = jax.jit(
+    _fused_tower_levels_impl,
+    static_argnames=("n_prod", "n_logup", "first_level", "n_vars", "pos",
+                     "sq_pos", "absorbed"),
+)
+
+
+def _prove_levels_fused(proof, prod_lys, logup_lys, first_level, n_vars,
+                        rt, prod_claims, logup_claims, transcript):
+    """Run levels [first_level, n_vars) through _fused_tower_levels and
+    replay the absorb/sample sequence on the host transcript. Returns the
+    updated (rt, prod_claims, logup_claims)."""
+    n_prod, n_logup = len(prod_lys), len(logup_lys)
+    n_claims = n_prod + 2 * n_logup
+    s_e = 2 * n_prod + 4 * n_logup
+    level_layers = tuple(
+        tuple(
+            [prod_lys[s][level] for s in range(n_prod)]
+            + [logup_lys[s][i][level] for s in range(n_logup) for i in (0, 1)]
+        )
+        for level in range(first_level, n_vars)
+    )
+    st, pos, sq_pos, absorbed = transcript.export_state()
+    flat_dev, end_state = _fused_tower_levels(
+        level_layers,
+        jnp.asarray(bb.np_to_monty(st.astype(np.uint32))),
+        jnp.asarray(bb.np_to_monty(np.asarray(rt, np.uint64))),
+        n_prod=n_prod, n_logup=n_logup, first_level=first_level,
+        n_vars=n_vars, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
+    )
+    flat = bb.np_from_monty(np.asarray(flat_dev)).astype(np.uint64)
+    deg = 3
+    off = 0
+    for level in range(first_level, n_vars):
+        transcript.sample_ext_pows(n_claims)  # alphas (values replayed)
+        n_m = level * (deg + 1) * 4
+        msgs = flat[off : off + n_m].reshape(level, deg + 1, 4)
+        off += n_m
+        chs = []
+        for r in range(level):
+            transcript.append(msgs[r].ravel())
+            chs.append(np.array(transcript.sample_ext(), np.uint64))
+        evals = flat[off : off + s_e * 4].reshape(s_e, 4)
+        off += s_e * 4
+        proof.round_msgs.append(msgs)
+        proof.level_evals.append(evals.copy())
+        transcript.append(evals.ravel())
+        mu = np.array(transcript.sample_ext(), np.uint64)
+        e = 0
+        new_prod, new_logup = [], []
+        for s in range(n_prod):
+            new_prod.append(_fold_two(evals[e], evals[e + 1], mu))
+            e += 2
+        for s in range(n_logup):
+            new_logup.append([
+                _fold_two(evals[e], evals[e + 1], mu),
+                _fold_two(evals[e + 2], evals[e + 3], mu),
+            ])
+            e += 4
+        prod_claims, logup_claims = new_prod, new_logup
+        rt = np.stack(chs[::-1] + [mu], axis=0)
+    end_h = bb.np_from_monty(np.asarray(end_state)).astype(np.uint64)
+    assert np.array_equal(end_h, transcript.state), (
+        "fused tower duplex diverged from host transcript"
+    )
+    return rt, prod_claims, logup_claims

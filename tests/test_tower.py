@@ -111,3 +111,45 @@ def test_tampered_tower_rejected():
         assert False, "should reject"
     except (tower.TowerError, Exception):
         pass
+
+
+def test_fused_tower_levels_byte_identical(monkeypatch):
+    """The single-program multi-level tower (CENO_TPU_FUSED_TOWER) must be
+    byte-identical to the per-level path."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from ceno_tpu.fields import babybear as bb
+    from ceno_tpu.gkr import tower
+    from ceno_tpu.hash.transcript import Transcript
+
+    rng2 = np.random.default_rng(17)
+    n = 1 << 9
+    recs = [jnp.asarray(rng2.integers(0, bb.P, size=(4, n), dtype=np.uint32))
+            for _ in range(4)]
+    # 2 prods + 1 logup = 5 terms -> compile_terms pads to 8 (exercises the
+    # zero-scalar sentinel slot in the fused kernel's alpha table)
+    lps = [(recs[2], recs[3])]
+
+    def run(fused):
+        monkeypatch.setenv("CENO_TPU_FUSED_TOWER", "1" if fused else "0")
+        # _TOWER_HOST_N is import-time; force device levels by monkeypatching
+        monkeypatch.setattr(tower, "_TOWER_HOST_N", 64)
+        t = Transcript(b"fused-tower-test")
+        proof, rt, (pc, lc) = tower.prove_towers(recs[:2], lps, t)
+        return proof, rt, pc, lc, t.state.copy()
+
+    p1, rt1, pc1, lc1, st1 = run(True)
+    p0, rt0, pc0, lc0, st0 = run(False)
+    assert np.array_equal(rt1, rt0)
+    assert np.array_equal(st1, st0)
+    assert np.array_equal(p1.prod_out, p0.prod_out)
+    assert len(p1.round_msgs) == len(p0.round_msgs)
+    for a, b in zip(p1.round_msgs, p0.round_msgs):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(p1.level_evals, p0.level_evals):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # and it verifies
+    tv = Transcript(b"fused-tower-test")
+    tower.verify_towers(p1, 9, tv)
