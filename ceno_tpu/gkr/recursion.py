@@ -439,3 +439,576 @@ def assign_merkle_paths(chips: MerklePathChips, walks: list):
     for i, name in enumerate(chips.ends_cb.wit_names):
         ends_wit[i] = np.asarray(ecols[name], np.uint64) % np.uint64(bb.P)
     return rows_wit, ends_wit, roots
+
+
+# ---------------------------------------------------------------------------
+# Tower-verify recombination chips (RECURSION.md build order #5, "tower
+# claims"): the in-circuit mirror of gkr/tower.py::verify_towers. Reference
+# role: the TowerVerify table of the recursion VM (ceno_recursion_v2 /
+# scheme/verifier.rs:1371 re-expressed as AIR rows).
+#
+# Three chips compose over the RAM_CUSTOM bus:
+#   * the existing sumcheck ROUNDS chip (build_sumcheck_verify_chips) proves
+#     every per-level sumcheck reduction — level k of tower `inst` is
+#     sumcheck instance inst*n_vars + k (k rounds, naturally variable-length
+#     because the rounds chip is row-per-round);
+#   * a BOUNDARY chip, one row per (inst, level), level = 1..n_vars-1:
+#       reads  (TowerClaim, inst, level,  claims_in[n_claims])
+#       writes (SumcheckClaim, inst*n_vars+level, 0, sum_i alpha_i*claims_i)
+#       reads  (SumcheckClaim, inst*n_vars+level, level, final_claim)
+#       checks final_claim == eq_v * (sum_s alpha * rel_s(evals))   with
+#              rel = L*R for prods, pL*qR+pR*qL and qL*qR for logups
+#       writes (TowerClaim, inst, level+1, fold_two(eval pairs, mu))
+#   * an ENDS chip, one row per tower instance: folds the absorbed layer-1
+#     outs at rt0 into the level-1 claims (bus write), reads back the final
+#     record claims at level n_vars, and exposes the claimed totals
+#     (products / fraction parts) as gadget wires the outer statement binds.
+#
+# Challenges (rt0, alphas, mu) and eq_v are witness wires here — bound by
+# the outer statement exactly like build order #2; the FS duplex chips
+# (build order #3) replace them when the full transcript chain is wired.
+# ---------------------------------------------------------------------------
+
+TAG_TOWER_CLAIM = 6
+
+
+@dataclass
+class TowerVerifyChips:
+    rounds_cb: CircuitBuilder
+    rounds_compiled: object
+    bound_cb: CircuitBuilder
+    bound_compiled: object
+    ends_cb: CircuitBuilder
+    ends_compiled: object
+    s_p: int
+    s_l: int
+    n_vars: int
+
+
+def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int) -> TowerVerifyChips:
+    n_claims = s_p + 2 * s_l
+    n_evals = 2 * s_p + 4 * s_l
+    sc = build_sumcheck_verify_chips(3, n_vars)  # rounds chip reused as-is
+
+    # -- boundary chip (one row per (inst, level)) ---------------------------
+    cb = CircuitBuilder("tower_verify_bounds")
+    inst = cb.create_witin("inst")
+    level = cb.create_witin("level")
+    claims_in = [G.ext_witness(cb, f"cin{i}") for i in range(n_claims)]
+    alphas = [G.ext_witness(cb, f"al{i}") for i in range(n_claims)]
+    evals = [G.ext_witness(cb, f"ev{e}") for e in range(n_evals)]
+    mu = G.ext_witness(cb, "mu")
+    eq_v = G.ext_witness(cb, "eqv")
+    final_claim = G.ext_witness(cb, "fc")
+
+    # batched claim entering the level's sumcheck
+    bt = [G.ext_mul(cb, f"bt{i}", alphas[i], claims_in[i]) for i in range(n_claims)]
+    batched = bt[0]
+    for t in bt[1:]:
+        batched = batched.add(t)
+    sc_inst = inst * n_vars + level
+    schead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), sc_inst]
+    cb.write_record(schead + [E.Const(0)] + batched.c)
+    cb.read_record(schead + [level] + final_claim.c)
+
+    # recombination: final_claim == eq_v * sum_s alpha-weighted relations
+    terms = []
+    e = 0
+    a = 0
+    for s in range(s_p):
+        pr = G.ext_mul(cb, f"pr{s}", evals[e], evals[e + 1])
+        terms.append(G.ext_mul(cb, f"apr{s}", alphas[a], pr))
+        e += 2
+        a += 1
+    for s in range(s_l):
+        pL, pR, qL, qR = evals[e], evals[e + 1], evals[e + 2], evals[e + 3]
+        n1 = G.ext_mul(cb, f"n1_{s}", pL, qR)
+        n2 = G.ext_mul(cb, f"n2_{s}", pR, qL)
+        terms.append(G.ext_mul(cb, f"an{s}", alphas[a], n1.add(n2)))
+        qq = G.ext_mul(cb, f"qq{s}", qL, qR)
+        terms.append(G.ext_mul(cb, f"aq{s}", alphas[a + 1], qq))
+        e += 4
+        a += 2
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc.add(t)
+    chk = G.ext_mul(cb, "eacc", eq_v, acc)
+    G.ext_require_equal(cb, "recomb", chk, final_claim)
+
+    # claim chain: read this level's claims, write the mu-folded next claims
+    thead = [E.Const(RAM_CUSTOM), E.Const(TAG_TOWER_CLAIM), inst]
+    cb.read_record(thead + [level] + [c for w in claims_in for c in w.c])
+    folded = []
+    e = 0
+    for s in range(s_p):
+        d = G.ext_mul(cb, f"fdp{s}", mu, evals[e + 1].sub(evals[e]))
+        folded.append(evals[e].add(d))
+        e += 2
+    for s in range(s_l):
+        dp = G.ext_mul(cb, f"fdlp{s}", mu, evals[e + 1].sub(evals[e]))
+        folded.append(evals[e].add(dp))
+        dq = G.ext_mul(cb, f"fdlq{s}", mu, evals[e + 3].sub(evals[e + 2]))
+        folded.append(evals[e + 2].add(dq))
+        e += 4
+    cb.write_record(thead + [level + 1] + [c for w in folded for c in w.c])
+    bound_compiled = compile_chip(cb)
+
+    # -- ends chip (one row per tower instance) ------------------------------
+    eb = CircuitBuilder("tower_verify_ends")
+    einst = eb.create_witin("inst")
+    rt0 = G.ext_witness(eb, "rt0")
+    init_claims = []
+    for s in range(s_p):
+        o0 = G.ext_witness(eb, f"po{s}0")
+        o1 = G.ext_witness(eb, f"po{s}1")
+        G.ext_mul(eb, f"pv{s}", o0, o1)  # claimed total product (outer binds)
+        ic = o0.add(G.ext_mul(eb, f"icp{s}", rt0, o1.sub(o0)))
+        init_claims.append(ic)
+    for s in range(s_l):
+        p0 = G.ext_witness(eb, f"lp{s}0")
+        p1 = G.ext_witness(eb, f"lp{s}1")
+        q0 = G.ext_witness(eb, f"lq{s}0")
+        q1 = G.ext_witness(eb, f"lq{s}1")
+        # claimed total fraction: num = p0*q1 + p1*q0, den = q0*q1
+        G.ext_mul(eb, f"fn1_{s}", p0, q1)
+        G.ext_mul(eb, f"fn2_{s}", p1, q0)
+        G.ext_mul(eb, f"fq{s}", q0, q1)
+        icp = p0.add(G.ext_mul(eb, f"iclp{s}", rt0, p1.sub(p0)))
+        icq = q0.add(G.ext_mul(eb, f"iclq{s}", rt0, q1.sub(q0)))
+        init_claims.extend([icp, icq])
+    rc = [G.ext_witness(eb, f"rc{i}") for i in range(n_claims)]
+    ehead = [E.Const(RAM_CUSTOM), E.Const(TAG_TOWER_CLAIM), einst]
+    eb.write_record(ehead + [E.Const(1)] + [c for w in init_claims for c in w.c])
+    eb.read_record(ehead + [E.Const(n_vars)] + [c for w in rc for c in w.c])
+    ends_compiled = compile_chip(eb)
+    return TowerVerifyChips(sc.rounds_cb, sc.rounds_compiled,
+                            cb, bound_compiled, eb, ends_compiled,
+                            s_p, s_l, n_vars)
+
+
+def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
+                        transcript: Transcript):
+    """Witgen by transcript replay (the witgen mirror of verify_towers).
+
+    ``proofs``: list of TowerProof, all with the same n_vars and the chip's
+    (s_p, s_l) spec shape; ``transcript`` must be positioned exactly where
+    the verifier's would be (absorbs happen here). Returns
+    (rounds_wit, bound_wit, ends_wit, record_claims (m, n_claims, 4))."""
+    from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
+
+    s_p, s_l, n_vars = chips.s_p, chips.s_l, chips.n_vars
+    n_claims = s_p + 2 * s_l
+    m = len(proofs)
+    P = np.uint64(bb.P)
+
+    sc_rows = []          # dicts for the rounds chip
+    brows: dict = {k: [] for k in ("inst", "level")}
+    bext: dict = {}       # name -> list of (4,) values, boundary ext wires
+    erows: dict = {"inst": np.arange(m, dtype=np.uint64)}
+    eext: dict = {}
+    record_claims = np.zeros((m, n_claims, 4), np.uint64)
+
+    def bput(name, v):
+        bext.setdefault(name, []).append(np.asarray(v, np.uint64))
+
+    def eput(name, v):
+        eext.setdefault(name, []).append(np.asarray(v, np.uint64))
+
+    for i, proof in enumerate(proofs):
+        assert proof.prod_out.shape[0] == s_p
+        assert proof.logup_out.shape[0] == s_l
+        for s in range(s_p):
+            transcript.append(proof.prod_out[s].ravel())
+        for s in range(s_l):
+            transcript.append(proof.logup_out[s].ravel())
+        rt = np.array([transcript.sample_ext()], np.uint64)
+        eput("rt0", rt[0])
+        claims = []
+        for s in range(s_p):
+            o0, o1 = proof.prod_out[s][0], proof.prod_out[s][1]
+            eput(f"po{s}0", o0)
+            eput(f"po{s}1", o1)
+            eput(f"pv{s}", G.ext_mul_host(o0, o1))
+            eput(f"icp{s}", G.ext_mul_host(rt[0], exth.sub(o1, o0)))
+            claims.append(_fold2(o0, o1, rt[0]))
+        for s in range(s_l):
+            (p0, p1), (q0, q1) = proof.logup_out[s][0], proof.logup_out[s][1]
+            for nm, v in ((f"lp{s}0", p0), (f"lp{s}1", p1),
+                          (f"lq{s}0", q0), (f"lq{s}1", q1)):
+                eput(nm, v)
+            eput(f"fn1_{s}", G.ext_mul_host(p0, q1))
+            eput(f"fn2_{s}", G.ext_mul_host(p1, q0))
+            eput(f"fq{s}", G.ext_mul_host(q0, q1))
+            eput(f"iclp{s}", G.ext_mul_host(rt[0], exth.sub(p1, p0)))
+            eput(f"iclq{s}", G.ext_mul_host(rt[0], exth.sub(q1, q0)))
+            claims.extend([_fold2(p0, p1, rt[0]), _fold2(q0, q1, rt[0])])
+
+        for level in range(1, n_vars):
+            alphas = transcript.sample_ext_pows(n_claims)
+            batched = np.zeros(4, np.uint64)
+            for j in range(n_claims):
+                batched = exth.add(batched, exth.mul(alphas[j], claims[j]))
+            msgs = np.asarray(proof.round_msgs[level - 1], np.uint64)
+            point, final_claim = sc_verify(
+                batched, msgs, level, transcript, deg=3
+            )
+            chals = point[::-1].copy()
+            # rounds-chip rows for this level's sumcheck instance
+            cur = batched
+            for r in range(level):
+                sc_rows.append({
+                    "inst": i * n_vars + level, "round": r,
+                    "ys": msgs[r], "alpha": chals[r], "claim_in": cur,
+                })
+                cur = lagrange_extrapolate(msgs[r], chals[r])
+            assert np.array_equal(cur, final_claim)
+
+            evals = np.asarray(proof.level_evals[level - 1], np.uint64)
+            eq_v = exth.eq_eval(rt.astype(np.uint64), point)
+            brows["inst"].append(i)
+            brows["level"].append(level)
+            for j in range(n_claims):
+                bput(f"cin{j}", claims[j])
+                bput(f"al{j}", alphas[j])
+                bput(f"bt{j}", exth.mul(alphas[j], claims[j]))
+            for ei in range(evals.shape[0]):
+                bput(f"ev{ei}", evals[ei])
+            bput("eqv", eq_v)
+            bput("fc", final_claim)
+            acc = np.zeros(4, np.uint64)
+            e = 0
+            a = 0
+            for s in range(s_p):
+                pr = exth.mul(evals[e], evals[e + 1])
+                bput(f"pr{s}", pr)
+                t = exth.mul(alphas[a], pr)
+                bput(f"apr{s}", t)
+                acc = exth.add(acc, t)
+                e += 2
+                a += 1
+            for s in range(s_l):
+                pLv, pRv, qLv, qRv = evals[e], evals[e + 1], evals[e + 2], evals[e + 3]
+                n1 = exth.mul(pLv, qRv)
+                n2 = exth.mul(pRv, qLv)
+                bput(f"n1_{s}", n1)
+                bput(f"n2_{s}", n2)
+                t = exth.mul(alphas[a], exth.add(n1, n2))
+                bput(f"an{s}", t)
+                acc = exth.add(acc, t)
+                qq = exth.mul(qLv, qRv)
+                bput(f"qq{s}", qq)
+                t2 = exth.mul(alphas[a + 1], qq)
+                bput(f"aq{s}", t2)
+                acc = exth.add(acc, t2)
+                e += 4
+                a += 2
+            bput("eacc", exth.mul(eq_v, acc))
+            if not np.array_equal(exth.mul(eq_v, acc), final_claim):
+                raise ValueError(f"tower {i} level {level}: recombination mismatch")
+            transcript.append(evals.ravel())
+            mu = np.array(transcript.sample_ext(), np.uint64)
+            bput("mu", mu)
+            rt = np.concatenate([point, mu[None, :]], axis=0)
+            new_claims = []
+            e = 0
+            for s in range(s_p):
+                bput(f"fdp{s}", exth.mul(mu, exth.sub(evals[e + 1], evals[e])))
+                new_claims.append(_fold2(evals[e], evals[e + 1], mu))
+                e += 2
+            for s in range(s_l):
+                bput(f"fdlp{s}", exth.mul(mu, exth.sub(evals[e + 1], evals[e])))
+                new_claims.append(_fold2(evals[e], evals[e + 1], mu))
+                bput(f"fdlq{s}", exth.mul(mu, exth.sub(evals[e + 3], evals[e + 2])))
+                new_claims.append(_fold2(evals[e + 2], evals[e + 3], mu))
+                e += 4
+            claims = new_claims
+        for j in range(n_claims):
+            record_claims[i, j] = claims[j]
+            eput(f"rc{j}", claims[j])
+
+    # -- materialize witness matrices ----------------------------------------
+    n_sc = len(sc_rows)
+    scols: dict = {
+        "inst": np.array([r["inst"] for r in sc_rows], np.uint64),
+        "round": np.array([r["round"] for r in sc_rows], np.uint64),
+    }
+    ys = np.stack([r["ys"] for r in sc_rows]) if n_sc else np.zeros((0, 4, 4), np.uint64)
+    al = np.stack([r["alpha"] for r in sc_rows]) if n_sc else np.zeros((0, 4), np.uint64)
+    ci = np.stack([r["claim_in"] for r in sc_rows]) if n_sc else np.zeros((0, 4), np.uint64)
+    for k in range(4):
+        G.assign_ext(scols, f"y{k}", ys[:, k])
+    G.assign_ext(scols, "alpha", al)
+    G.assign_ext(scols, "claim_in", ci)
+    G.assign_lagrange(scols, "lag", ys, al, 3)
+    rounds_wit = np.zeros((len(chips.rounds_cb.wit_names), n_sc), np.uint64)
+    for j, name in enumerate(chips.rounds_cb.wit_names):
+        rounds_wit[j] = np.asarray(scols[name], np.uint64) % P
+
+    n_b = len(brows["inst"])
+    bcols: dict = {
+        "inst": np.array(brows["inst"], np.uint64),
+        "level": np.array(brows["level"], np.uint64),
+    }
+    for name, vals in bext.items():
+        G.assign_ext(bcols, name, np.stack(vals))
+    bound_wit = np.zeros((len(chips.bound_cb.wit_names), n_b), np.uint64)
+    for j, name in enumerate(chips.bound_cb.wit_names):
+        assert name in bcols, name
+        bound_wit[j] = np.asarray(bcols[name], np.uint64) % P
+
+    ecols: dict = dict(erows)
+    for name, vals in eext.items():
+        G.assign_ext(ecols, name, np.stack(vals))
+    ends_wit = np.zeros((len(chips.ends_cb.wit_names), m), np.uint64)
+    for j, name in enumerate(chips.ends_cb.wit_names):
+        assert name in ecols, name
+        ends_wit[j] = np.asarray(ecols[name], np.uint64) % P
+    return rounds_wit, bound_wit, ends_wit, record_claims
+
+
+def _fold2(v0, v1, r):
+    return exth.add(np.asarray(v0, np.uint64),
+                    exth.mul(np.asarray(r, np.uint64),
+                             exth.sub(np.asarray(v1, np.uint64),
+                                      np.asarray(v0, np.uint64))))
+
+
+# ---------------------------------------------------------------------------
+# Jagged-translation recombination chips (RECURSION.md build order #5,
+# "jagged weights"): the in-circuit mirror of pcs/jagged.py::verify_jagged's
+# analytic w_c(r) recombination. Reference role: the jagged-PCS verify
+# tables of the recursion VM (the default PcsKind is Jagged<Basefold>,
+# ceno_zkvm/src/e2e.rs:103-129).
+#
+# Key uniformity: EVERY weight factor — eq(z_k, r_k) over the claim's point
+# vars AND the slice-index tail bits — is the same bilinear form
+#     eq1(z, r) = 1 - z - r + 2*z*r
+# with z either a point coordinate or the bit constant, so the chain chip
+# has one row shape for all log_r levels of every claim.
+#
+# Chips over the RAM_CUSTOM bus (tags below):
+#   * EQ-ROWS chip, row per (claim, var k = 0..log_r-1):
+#       reads  (EqChain, cid, k,   acc)
+#       writes (EqChain, cid, k+1, acc * eq1(z_k, r_k))
+#   * CLAIM chip, row per claim t (cid = t, globally numbered):
+#       writes (EqChain, cid, 0, 1)                     -- chain start
+#       reads  (EqChain, cid, log_r, w)                 -- the weight
+#       reads  (EqSum, jid, t, S)   writes (EqSum, jid, t+1, S + gamma*w*v)
+#       reads  (BSum,  jid, t, B)   writes (BSum,  jid, t+1, B + gamma*value)
+#   * FINAL chip, one row per jagged opening jid:
+#       writes (EqSum, jid, 0, 0) and (BSum, jid, 0, 0)
+#       reads  (EqSum, jid, n_claims, total)
+#       reads  (BSum,  jid, n_claims, btotal)
+#       writes (SumcheckClaim, sc_inst, 0, btotal)      -- translation claim
+#       reads  (SumcheckClaim, sc_inst, log_r, fc), requires fc == total
+#     so composed with the sumcheck ROUNDS chip the whole translation
+#     argument is verified in-circuit; gammas/points/v_evals are witness
+#     wires the outer statement (FS chips) binds.
+# ---------------------------------------------------------------------------
+
+TAG_EQ_CHAIN = 7
+TAG_EQ_SUM = 8
+TAG_B_SUM = 9
+
+
+@dataclass
+class JaggedVerifyChips:
+    rows_cb: CircuitBuilder
+    rows_compiled: object
+    claims_cb: CircuitBuilder
+    claims_compiled: object
+    final_cb: CircuitBuilder
+    final_compiled: object
+    log_r: int
+    n_claims: int
+
+
+def build_jagged_verify_chips(log_r: int, n_claims: int) -> JaggedVerifyChips:
+    # -- eq-chain rows chip ---------------------------------------------------
+    cb = CircuitBuilder("jagged_eq_rows")
+    cid = cb.create_witin("cid")
+    k = cb.create_witin("k")
+    z = G.ext_witness(cb, "z")
+    r = G.ext_witness(cb, "r")
+    acc_in = G.ext_witness(cb, "acc")
+    zr = G.ext_mul(cb, "zr", z, r)
+    one = G.ExtWire.constant(exth.one())
+    factor = one.sub(z).sub(r).add(zr.scale(2))
+    acc_out = G.ext_mul(cb, "accn", acc_in, factor)
+    head = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_CHAIN), cid]
+    cb.read_record(head + [k] + acc_in.c)
+    cb.write_record(head + [k + 1] + acc_out.c)
+    rows_compiled = compile_chip(cb)
+
+    # -- per-claim chip -------------------------------------------------------
+    qb = CircuitBuilder("jagged_claims")
+    jid = qb.create_witin("jid")
+    t = qb.create_witin("t")
+    qcid = qb.create_witin("cid")
+    gamma = G.ext_witness(qb, "gamma")
+    value = G.ext_witness(qb, "value")
+    v_eval = G.ext_witness(qb, "v")
+    w = G.ext_witness(qb, "w")
+    s_in = G.ext_witness(qb, "s_in")
+    b_in = G.ext_witness(qb, "b_in")
+    gw = G.ext_mul(qb, "gw", gamma, w)
+    contrib = G.ext_mul(qb, "ctr", gw, v_eval)
+    bterm = G.ext_mul(qb, "bt", gamma, value)
+    chead = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_CHAIN), qcid]
+    qb.write_record(chead + [E.Const(0)] + one.c)
+    qb.read_record(chead + [E.Const(log_r)] + w.c)
+    shead = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_SUM), jid]
+    qb.read_record(shead + [t] + s_in.c)
+    qb.write_record(shead + [t + 1] + s_in.add(contrib).c)
+    bhead = [E.Const(RAM_CUSTOM), E.Const(TAG_B_SUM), jid]
+    qb.read_record(bhead + [t] + b_in.c)
+    qb.write_record(bhead + [t + 1] + b_in.add(bterm).c)
+    claims_compiled = compile_chip(qb)
+
+    # -- final chip (one row per jagged opening) ------------------------------
+    fb = CircuitBuilder("jagged_final")
+    fjid = fb.create_witin("jid")
+    total = G.ext_witness(fb, "total")
+    btotal = G.ext_witness(fb, "btotal")
+    fc = G.ext_witness(fb, "fc")
+    zero = G.ExtWire.constant(np.zeros(4, np.uint64))
+    fshead = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_SUM), fjid]
+    fb.write_record(fshead + [E.Const(0)] + zero.c)
+    fb.read_record(fshead + [E.Const(n_claims)] + total.c)
+    fbhead = [E.Const(RAM_CUSTOM), E.Const(TAG_B_SUM), fjid]
+    fb.write_record(fbhead + [E.Const(0)] + zero.c)
+    fb.read_record(fbhead + [E.Const(n_claims)] + btotal.c)
+    schead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), fjid]
+    fb.write_record(schead + [E.Const(0)] + btotal.c)
+    fb.read_record(schead + [E.Const(log_r)] + fc.c)
+    G.ext_require_equal(fb, "translation", fc, total)
+    final_compiled = compile_chip(fb)
+    return JaggedVerifyChips(cb, rows_compiled, qb, claims_compiled,
+                             fb, final_compiled, log_r, n_claims)
+
+
+def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
+                         proof, transcript: Transcript, jid: int = 0):
+    """Witgen mirror of verify_jagged's recombination (+ the translation
+    sumcheck's rounds-chip rows). ``transcript`` must sit where the jagged
+    verifier's would. Returns (rows_wit, claims_wit, final_wit, sc_cols) —
+    sc_cols is the column dict for the deg-2 sumcheck ROUNDS chip
+    (build_sumcheck_verify_chips(2, ...).rounds_cb names)."""
+    from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
+
+    log_r = chips.log_r
+    n_claims = chips.n_claims
+    assert len(claims) == n_claims
+    P = np.uint64(bb.P)
+    gammas = transcript.sample_ext_pows(n_claims)
+    btotal = np.zeros(4, np.uint64)
+    for tt, cl in enumerate(claims):
+        btotal = exth.add(btotal, exth.mul(gammas[tt], np.asarray(cl.value, np.uint64)))
+    msgs = np.asarray(proof.trans_msgs, np.uint64)
+    point, final_claim = sc_verify(btotal, msgs, log_r, transcript, deg=2)
+    chals = point[::-1].copy()
+    v_evals = np.asarray(proof.v_evals, np.uint64)
+    transcript.append(v_evals.ravel())
+
+    # sumcheck rounds rows (deg-2 chip: sc instance id == jid)
+    sc_rows: dict = {
+        "inst": np.full(log_r, jid, np.uint64),
+        "round": np.arange(log_r, dtype=np.uint64),
+    }
+    cur = btotal
+    cins = np.zeros((log_r, 4), np.uint64)
+    for rr in range(log_r):
+        cins[rr] = cur
+        cur = lagrange_extrapolate(msgs[rr], chals[rr])
+    assert np.array_equal(cur, final_claim)
+    for kk in range(3):
+        G.assign_ext(sc_rows, f"y{kk}", msgs[:, kk])
+    G.assign_ext(sc_rows, "alpha", chals)
+    G.assign_ext(sc_rows, "claim_in", cins)
+    G.assign_lagrange(sc_rows, "lag", msgs, chals, 2)
+
+    # eq-chain rows + per-claim rows
+    n_rows = n_claims * log_r
+    zs = np.zeros((n_rows, 4), np.uint64)
+    rs = np.zeros((n_rows, 4), np.uint64)
+    accs = np.zeros((n_rows, 4), np.uint64)
+    zrs = np.zeros((n_rows, 4), np.uint64)
+    accns = np.zeros((n_rows, 4), np.uint64)
+    ws = np.zeros((n_claims, 4), np.uint64)
+    one = exth.one()
+    for tt, cl in enumerate(claims):
+        ref = layout.slices[cl.slice_idx]
+        zpt = np.asarray(cl.z, np.uint64)
+        assert zpt.shape[0] == ref.log_h
+        acc = one.copy()
+        for kk in range(log_r):
+            if kk < ref.log_h:
+                zk = zpt[kk]
+            else:
+                bit = (ref.sub_idx >> (kk - ref.log_h)) & 1
+                zk = exth.from_base(np.uint64(bit))
+            rk = point[kk].astype(np.uint64)
+            row = tt * log_r + kk
+            zs[row], rs[row], accs[row] = zk, rk, acc
+            zr = exth.mul(zk, rk)
+            zrs[row] = zr
+            f = exth.sub(exth.add(one, exth.add(zr, zr)), exth.add(zk, rk))
+            acc = exth.mul(acc, f)
+            accns[row] = acc
+        ws[tt] = acc
+    rcols: dict = {
+        "cid": np.repeat(np.arange(n_claims, dtype=np.uint64), log_r),
+        "k": np.tile(np.arange(log_r, dtype=np.uint64), n_claims),
+    }
+    G.assign_ext(rcols, "z", zs)
+    G.assign_ext(rcols, "r", rs)
+    G.assign_ext(rcols, "acc", accs)
+    G.assign_ext(rcols, "zr", zrs)
+    G.assign_ext(rcols, "accn", accns)
+    rows_wit = np.zeros((len(chips.rows_cb.wit_names), n_rows), np.uint64)
+    for j, name in enumerate(chips.rows_cb.wit_names):
+        rows_wit[j] = np.asarray(rcols[name], np.uint64) % P
+
+    vals = np.stack([np.asarray(cl.value, np.uint64) for cl in claims])
+    vcols = np.stack([v_evals[layout.slices[cl.slice_idx].mat_col]
+                      for cl in claims])
+    gw = exth.mul(gammas, ws)
+    contribs = exth.mul(gw, vcols)
+    bterms = exth.mul(gammas, vals)
+    s_ins = np.zeros((n_claims, 4), np.uint64)
+    b_ins = np.zeros((n_claims, 4), np.uint64)
+    s = np.zeros(4, np.uint64)
+    b = np.zeros(4, np.uint64)
+    for tt in range(n_claims):
+        s_ins[tt], b_ins[tt] = s, b
+        s = exth.add(s, contribs[tt])
+        b = exth.add(b, bterms[tt])
+    if not np.array_equal(s, final_claim):
+        raise ValueError("jagged recombination mismatch in witgen")
+    qcols: dict = {
+        "jid": np.full(n_claims, jid, np.uint64),
+        "t": np.arange(n_claims, dtype=np.uint64),
+        "cid": np.arange(n_claims, dtype=np.uint64),
+    }
+    G.assign_ext(qcols, "gamma", gammas)
+    G.assign_ext(qcols, "value", vals)
+    G.assign_ext(qcols, "v", vcols)
+    G.assign_ext(qcols, "w", ws)
+    G.assign_ext(qcols, "s_in", s_ins)
+    G.assign_ext(qcols, "b_in", b_ins)
+    G.assign_ext(qcols, "gw", gw)
+    G.assign_ext(qcols, "ctr", contribs)
+    G.assign_ext(qcols, "bt", bterms)
+    claims_wit = np.zeros((len(chips.claims_cb.wit_names), n_claims), np.uint64)
+    for j, name in enumerate(chips.claims_cb.wit_names):
+        claims_wit[j] = np.asarray(qcols[name], np.uint64) % P
+
+    fcols: dict = {"jid": np.array([jid], np.uint64)}
+    G.assign_ext(fcols, "total", s[None])
+    G.assign_ext(fcols, "btotal", btotal[None])
+    G.assign_ext(fcols, "fc", final_claim[None])
+    final_wit = np.zeros((len(chips.final_cb.wit_names), 1), np.uint64)
+    for j, name in enumerate(chips.final_cb.wit_names):
+        final_wit[j] = np.asarray(fcols[name], np.uint64) % P
+
+    return rows_wit, claims_wit, final_wit, sc_rows

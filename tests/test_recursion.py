@@ -231,3 +231,160 @@ def test_merkle_path_chips_verify_real_paths():
         raise_on_error=False,
     )
     assert errs
+
+
+def test_tower_verify_chips_real_tower():
+    """Tower recombination chips (RECURSION.md #5) verify a REAL tower proof
+    in-circuit: per-level sumchecks via the rounds chip, level boundaries via
+    the boundary chip, endpoints pinned by the ends chip — bus-balanced and
+    MockProver-satisfied; tampering an eval breaks it."""
+    from ceno_tpu.gkr import tower
+
+    n_vars, s_p, s_l = 4, 2, 1
+    n = 1 << n_vars
+    prods = [
+        rng.integers(1, bb.P, size=(n, 4), dtype=np.uint64) for _ in range(s_p)
+    ]
+    logups = [
+        (rng.integers(0, bb.P, size=(n, 4), dtype=np.uint64),
+         rng.integers(1, bb.P, size=(n, 4), dtype=np.uint64))
+        for _ in range(s_l)
+    ]
+    tp = Transcript(b"tower-rec")
+    proof, _pt, (prod_claims, logup_claims) = tower.prove_towers_host(
+        prods, logups, tp
+    )
+
+    chips = R.build_tower_verify_chips(s_p, s_l, n_vars)
+    tv = Transcript(b"tower-rec")
+    rw, bw, ew, rec_claims = R.assign_tower_verify(chips, [proof], tv)
+    # the ends chip read back the true record-MLE claims
+    assert np.array_equal(rec_claims[0, :s_p], prod_claims)
+    assert np.array_equal(rec_claims[0, s_p], logup_claims[0][0])
+    assert np.array_equal(rec_claims[0, s_p + 1], logup_claims[0][1])
+
+    kr, kb, ke = rw.shape[1], bw.shape[1], ew.shape[1]
+    rwp, bwp, ewp = _pad(rw, kr), _pad(bw, kb), _pad(ew, ke)
+    sets = [
+        (chips.rounds_compiled, chips.rounds_cb, rwp,
+         np.zeros((0, rwp.shape[1]), np.uint64), np.zeros(0), kr),
+        (chips.bound_compiled, chips.bound_cb, bwp,
+         np.zeros((0, bwp.shape[1]), np.uint64), np.zeros(0), kb),
+        (chips.ends_compiled, chips.ends_cb, ewp,
+         np.zeros((0, ewp.shape[1]), np.uint64), np.zeros(0), ke),
+    ]
+    from ceno_tpu.gkr.mock import MockProver as MP
+    assert MP.assert_satisfied(sets) == []
+
+    # tamper one level eval: recombination or the claim-chain bus must break
+    bad = bwp.copy()
+    ei = chips.bound_cb.wit_names.index("ev1_2")
+    bad[ei, 1] = (int(bad[ei, 1]) + 1) % bb.P
+    errs = MP.assert_satisfied(
+        [sets[0],
+         (chips.bound_compiled, chips.bound_cb, bad,
+          np.zeros((0, bwp.shape[1]), np.uint64), np.zeros(0), kb),
+         sets[2]],
+        raise_on_error=False,
+    )
+    assert errs
+
+    # tamper the claimed total product (layer-1 out): the initial claim
+    # chain written by the ends chip must no longer balance
+    bad_e = ewp.copy()
+    oi = chips.ends_cb.wit_names.index("po01_0")
+    bad_e[oi, 0] = (int(bad_e[oi, 0]) + 1) % bb.P
+    errs2 = MP.assert_satisfied(
+        [sets[0], sets[1],
+         (chips.ends_compiled, chips.ends_cb, bad_e,
+          np.zeros((0, ewp.shape[1]), np.uint64), np.zeros(0), ke)],
+        raise_on_error=False,
+    )
+    assert errs2
+
+
+def test_jagged_verify_chips_real_opening():
+    """Jagged-weight recombination chips (RECURSION.md #5) verify a REAL
+    jagged opening's translation argument in-circuit: the eq1-chain rows,
+    per-claim gamma-weighted sums, and the final chip's binding to the
+    deg-2 translation sumcheck (proved by the standard rounds chip) — all
+    bus-balanced; tampering a claimed value breaks it."""
+    from ceno_tpu.pcs import basefold, jagged
+    from ceno_tpu.pcs.basefold import BasefoldParams
+    from ceno_tpu.sumcheck import host_impl as H
+    from ceno_tpu.gkr.mock import MockProver as MP
+
+    params = BasefoldParams(blowup_log=1, n_queries=4, stop_size=32)
+
+    def mle_eval(col, z):
+        eq = H.build_eq_host(np.asarray(z, np.uint64))
+        acc = np.zeros(4, np.uint64)
+        for i in range(len(col)):
+            acc = exth.add(acc, exth.mul_base(eq[i], np.uint64(col[i])))
+        return acc
+
+    classes = [(8, 5), (32, 3)]
+    layout = jagged.plan_layout(classes)
+    arrs = [
+        (8, rng.integers(0, bb.P, size=(5, 8)).astype(np.uint64)),
+        (32, rng.integers(0, bb.P, size=(3, 32)).astype(np.uint64)),
+    ]
+    mat = jagged.stack_matrix(layout, arrs)
+    committed = basefold.commit(mat, params)
+    z8 = rng.integers(0, bb.P, size=(3, 4)).astype(np.uint64)
+    z32 = rng.integers(0, bb.P, size=(5, 4)).astype(np.uint64)
+    claims = [jagged.JaggedClaim(j, z8, mle_eval(arrs[0][1][j], z8))
+              for j in range(5)]
+    claims += [jagged.JaggedClaim(5 + j, z32, mle_eval(arrs[1][1][j], z32))
+               for j in range(3)]
+    tp = Transcript(b"jagged-rec")
+    proof = jagged.open_jagged(committed, layout, claims, tp, params)
+
+    log_r = layout.n_r.bit_length() - 1
+    chips = R.build_jagged_verify_chips(log_r, len(claims))
+    sc2 = R.build_sumcheck_verify_chips(2, log_r)
+    tv = Transcript(b"jagged-rec")
+    rows_wit, claims_wit, final_wit, sc_cols = R.assign_jagged_verify(
+        chips, layout, claims, proof, tv
+    )
+    n_sc = log_r
+    sc_wit = np.zeros((len(sc2.rounds_cb.wit_names), n_sc), np.uint64)
+    for j, name in enumerate(sc2.rounds_cb.wit_names):
+        sc_wit[j] = np.asarray(sc_cols[name], np.uint64) % np.uint64(bb.P)
+
+    def mkset(compiled, cb, wit):
+        k = wit.shape[1]
+        w = _pad(wit, k)
+        return (compiled, cb, w, np.zeros((0, w.shape[1]), np.uint64),
+                np.zeros(0), k)
+
+    sets = [
+        mkset(chips.rows_compiled, chips.rows_cb, rows_wit),
+        mkset(chips.claims_compiled, chips.claims_cb, claims_wit),
+        mkset(chips.final_compiled, chips.final_cb, final_wit),
+        mkset(sc2.rounds_compiled, sc2.rounds_cb, sc_wit),
+    ]
+    assert MP.assert_satisfied(sets) == []
+
+    # tamper a claimed opening value: the BSum chain or the translation
+    # equality must break
+    bad = sets[1][2].copy()
+    vi = chips.claims_cb.wit_names.index("value_1")
+    bad[vi, 3] = (int(bad[vi, 3]) + 1) % bb.P
+    errs = MP.assert_satisfied(
+        [sets[0], (chips.claims_compiled, chips.claims_cb, bad,
+                   sets[1][3], sets[1][4], sets[1][5]), sets[2], sets[3]],
+        raise_on_error=False,
+    )
+    assert errs
+
+    # tamper a weight-chain z coordinate: the eq chain must diverge
+    bad_r = sets[0][2].copy()
+    zi = chips.rows_cb.wit_names.index("z_0")
+    bad_r[zi, 4] = (int(bad_r[zi, 4]) + 1) % bb.P
+    errs2 = MP.assert_satisfied(
+        [(chips.rows_compiled, chips.rows_cb, bad_r,
+          sets[0][3], sets[0][4], sets[0][5]), sets[1], sets[2], sets[3]],
+        raise_on_error=False,
+    )
+    assert errs2
