@@ -1012,3 +1012,327 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
         final_wit[j] = np.asarray(fcols[name], np.uint64) % P
 
     return rows_wit, claims_wit, final_wit, sc_rows
+
+
+# ---------------------------------------------------------------------------
+# Class-main recombination chips (RECURSION.md build order #5, "class-main
+# slot terms"): the in-circuit mirror of gkr/chip.py::verify_class_main's
+# recombination — per chip: acc = sum_slots mult * sum_terms scalar * prod
+# col_evals; class total = sum_chips gamma * sel_eq * acc == the class
+# sumcheck's final claim. Reference role: the main-constraint verify tables
+# of the recursion VM (scheme/verifier.rs main_constraint replay).
+#
+# The chips are GENERIC — no per-CompiledChip codegen. Every variable-length
+# structure (term column counts, slot term counts, chip slot counts, class
+# chip counts) is a bus-balanced chain, so the geometry is enforced by
+# multiset balance, not by circuit shape:
+#
+#   * TERM-ROWS chip, row per (term, col step):
+#       reads (TermChain, tid, step, p)  writes (TermChain, tid, step+1, p*c)
+#   * TERM chip, row per slot term:
+#       writes (TermChain, tid, 0, scalar)   reads (TermChain, tid, nc, val)
+#       chains (SlotSum, sid, j) += val
+#   * SLOT chip, row per slot:
+#       pins (SlotSum, sid, 0, 0), reads the slot total at nt,
+#       chains (ChipAcc, cidx, si) += mult * slot_val
+#   * CHIP chip, row per class member:
+#       pins (ChipAcc, cidx, 0, 0), reads acc at ns,
+#       chains (ClassSum, h, i)   += gamma * sel_eq * acc
+#       chains (ClassBatch, h, i) += gamma * batched_claim
+#   * CLASS-FINAL chip, row per height class:
+#       pins both class chains at 0, reads totals at nchips,
+#       writes (SumcheckClaim, h, 0, batch_total) and reads the class
+#       sumcheck's reduced claim at round nv, requiring it == sum_total —
+#       composed with the standard sumcheck ROUNDS chip, the whole class
+#       main argument is verified in-circuit.
+#
+# col_evals / scalars / gammas / mults / sel_eq are witness wires the outer
+# statement binds (same incremental-binding status as build order #2's
+# challenges; the FS chips supply them when the transcript chain is wired).
+# ---------------------------------------------------------------------------
+
+TAG_TERM_CHAIN = 10
+TAG_SLOT_SUM = 11
+TAG_CHIP_ACC = 12
+TAG_CLASS_SUM = 13
+TAG_CLASS_BATCH = 14
+
+
+@dataclass
+class ClassMainVerifyChips:
+    prod_cb: CircuitBuilder
+    prod_compiled: object
+    term_cb: CircuitBuilder
+    term_compiled: object
+    slot_cb: CircuitBuilder
+    slot_compiled: object
+    chip_cb: CircuitBuilder
+    chip_compiled: object
+    final_cb: CircuitBuilder
+    final_compiled: object
+
+
+def build_class_main_verify_chips() -> ClassMainVerifyChips:
+    # -- term product rows ----------------------------------------------------
+    pb = CircuitBuilder("cm_term_rows")
+    tid = pb.create_witin("tid")
+    step = pb.create_witin("step")
+    c = G.ext_witness(pb, "c")
+    p = G.ext_witness(pb, "p")
+    pc = G.ext_mul(pb, "pc", p, c)
+    head = [E.Const(RAM_CUSTOM), E.Const(TAG_TERM_CHAIN), tid]
+    pb.read_record(head + [step] + p.c)
+    pb.write_record(head + [step + 1] + pc.c)
+    prod_compiled = compile_chip(pb)
+
+    # -- per-term chip ---------------------------------------------------------
+    tb = CircuitBuilder("cm_terms")
+    ttid = tb.create_witin("tid")
+    sid = tb.create_witin("sid")
+    j = tb.create_witin("j")
+    nc = tb.create_witin("nc")
+    scalar = G.ext_witness(tb, "scalar")
+    val = G.ext_witness(tb, "val")
+    s_in = G.ext_witness(tb, "s_in")
+    thead = [E.Const(RAM_CUSTOM), E.Const(TAG_TERM_CHAIN), ttid]
+    tb.write_record(thead + [E.Const(0)] + scalar.c)
+    tb.read_record(thead + [nc] + val.c)
+    shead = [E.Const(RAM_CUSTOM), E.Const(TAG_SLOT_SUM), sid]
+    tb.read_record(shead + [j] + s_in.c)
+    tb.write_record(shead + [j + 1] + s_in.add(val).c)
+    term_compiled = compile_chip(tb)
+
+    # -- per-slot chip ---------------------------------------------------------
+    sb = CircuitBuilder("cm_slots")
+    ssid = sb.create_witin("sid")
+    cidx = sb.create_witin("cidx")
+    si = sb.create_witin("si")
+    nt = sb.create_witin("nt")
+    mult = G.ext_witness(sb, "mult")
+    slot_val = G.ext_witness(sb, "slot_val")
+    a_in = G.ext_witness(sb, "a_in")
+    mv = G.ext_mul(sb, "mv", mult, slot_val)
+    zero = G.ExtWire.constant(np.zeros(4, np.uint64))
+    sshead = [E.Const(RAM_CUSTOM), E.Const(TAG_SLOT_SUM), ssid]
+    sb.write_record(sshead + [E.Const(0)] + zero.c)
+    sb.read_record(sshead + [nt] + slot_val.c)
+    ahead = [E.Const(RAM_CUSTOM), E.Const(TAG_CHIP_ACC), cidx]
+    sb.read_record(ahead + [si] + a_in.c)
+    sb.write_record(ahead + [si + 1] + a_in.add(mv).c)
+    slot_compiled = compile_chip(sb)
+
+    # -- per-chip chip ---------------------------------------------------------
+    hb = CircuitBuilder("cm_chips")
+    hcidx = hb.create_witin("cidx")
+    hidx = hb.create_witin("h")
+    i_in = hb.create_witin("i")
+    ns = hb.create_witin("ns")
+    gamma = G.ext_witness(hb, "gamma")
+    s_eq = G.ext_witness(hb, "s_eq")
+    acc = G.ext_witness(hb, "acc")
+    bc = G.ext_witness(hb, "bc")
+    t_in = G.ext_witness(hb, "t_in")
+    b_in = G.ext_witness(hb, "b_in")
+    ga = G.ext_mul(hb, "ga", gamma, s_eq)
+    gacc = G.ext_mul(hb, "gacc", ga, acc)
+    gb = G.ext_mul(hb, "gb", gamma, bc)
+    hahead = [E.Const(RAM_CUSTOM), E.Const(TAG_CHIP_ACC), hcidx]
+    hb.write_record(hahead + [E.Const(0)] + zero.c)
+    hb.read_record(hahead + [ns] + acc.c)
+    tshead = [E.Const(RAM_CUSTOM), E.Const(TAG_CLASS_SUM), hidx]
+    hb.read_record(tshead + [i_in] + t_in.c)
+    hb.write_record(tshead + [i_in + 1] + t_in.add(gacc).c)
+    bshead = [E.Const(RAM_CUSTOM), E.Const(TAG_CLASS_BATCH), hidx]
+    hb.read_record(bshead + [i_in] + b_in.c)
+    hb.write_record(bshead + [i_in + 1] + b_in.add(gb).c)
+    chip_compiled = compile_chip(hb)
+
+    # -- class-final chip -------------------------------------------------------
+    fb = CircuitBuilder("cm_final")
+    fh = fb.create_witin("h")
+    nchips = fb.create_witin("nchips")
+    nv = fb.create_witin("nv")
+    total = G.ext_witness(fb, "total")
+    btotal = G.ext_witness(fb, "btotal")
+    fc = G.ext_witness(fb, "fc")
+    fshead = [E.Const(RAM_CUSTOM), E.Const(TAG_CLASS_SUM), fh]
+    fb.write_record(fshead + [E.Const(0)] + zero.c)
+    fb.read_record(fshead + [nchips] + total.c)
+    fbhead = [E.Const(RAM_CUSTOM), E.Const(TAG_CLASS_BATCH), fh]
+    fb.write_record(fbhead + [E.Const(0)] + zero.c)
+    fb.read_record(fbhead + [nchips] + btotal.c)
+    schead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), fh]
+    fb.write_record(schead + [E.Const(0)] + btotal.c)
+    fb.read_record(schead + [nv] + fc.c)
+    G.ext_require_equal(fb, "class_main", fc, total)
+    final_compiled = compile_chip(fb)
+    return ClassMainVerifyChips(pb, prod_compiled, tb, term_compiled,
+                                sb, slot_compiled, hb, chip_compiled,
+                                fb, final_compiled)
+
+
+def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
+                             class_proof, instances: np.ndarray,
+                             challenges: np.ndarray, transcript: Transcript,
+                             class_id: int = 0,
+                             tid0: int = 0, sid0: int = 0, cidx0: int = 0):
+    """Witgen mirror of verify_class_main for ONE height class. ``transcript``
+    must sit where the class-main verifier's would (samples gammas, replays
+    the class sumcheck, absorbs the evals). Global chain ids start at
+    tid0/sid0/cidx0 so multiple classes share the generic chips. Returns
+    (prod_wit, term_wit, slot_wit, chip_wit, final_wit, sc_cols, deg) where
+    sc_cols feeds build_sumcheck_verify_chips(deg, ...).rounds_cb and the
+    sumcheck instance id is ``class_id``."""
+    from .chip import _col_index, sel_eq_eval
+    from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
+
+    P = np.uint64(bb.P)
+    n_vars = vctxs[0].n_vars
+    gammas = transcript.sample_ext_pows(len(vctxs))
+    combined = np.zeros(4, np.uint64)
+    for g, v in zip(gammas, vctxs):
+        combined = exth.add(combined, exth.mul(g, v.batched_claim))
+    deg = max(v.main_deg for v in vctxs)
+    msgs = np.asarray(class_proof.main_msgs, np.uint64)
+    point, final_claim = sc_verify(combined, msgs, n_vars, transcript, deg=deg)
+    chals = point[::-1].copy()
+    flat = []
+    for i, v in enumerate(vctxs):
+        flat += [np.asarray(class_proof.wit_evals[i], np.uint64),
+                 np.asarray(class_proof.fixed_evals[i], np.uint64),
+                 np.asarray(class_proof.structural_evals[i], np.uint64)]
+    transcript.append(
+        np.concatenate([x.reshape(-1) for x in flat])
+        if flat else np.zeros(0, np.uint64)
+    )
+
+    # sumcheck rounds rows (instance id = class_id)
+    sc_cols: dict = {
+        "inst": np.full(n_vars, class_id, np.uint64),
+        "round": np.arange(n_vars, dtype=np.uint64),
+    }
+    cur = combined
+    cins = np.zeros((n_vars, 4), np.uint64)
+    for rr in range(n_vars):
+        cins[rr] = cur
+        cur = lagrange_extrapolate(msgs[rr], chals[rr])
+    assert np.array_equal(cur, final_claim)
+    for kk in range(deg + 1):
+        G.assign_ext(sc_cols, f"y{kk}", msgs[:, kk])
+    G.assign_ext(sc_cols, "alpha", chals)
+    G.assign_ext(sc_cols, "claim_in", cins)
+    G.assign_lagrange(sc_cols, "lag", msgs, chals, deg)
+
+    prod_rows = {"tid": [], "step": [], "c": [], "p": [], "pc": []}
+    term_rows = {"tid": [], "sid": [], "j": [], "nc": [], "scalar": [],
+                 "val": [], "s_in": []}
+    slot_rows = {"sid": [], "cidx": [], "si": [], "nt": [], "mult": [],
+                 "slot_val": [], "a_in": [], "mv": []}
+    chip_rows = {"cidx": [], "h": [], "i": [], "ns": [], "gamma": [],
+                 "s_eq": [], "acc": [], "bc": [], "t_in": [], "b_in": [],
+                 "ga": [], "gacc": [], "gb": []}
+    tid = tid0
+    sid = sid0
+    cidx = cidx0
+    total = np.zeros(4, np.uint64)
+    btotal = np.zeros(4, np.uint64)
+    for i, v in enumerate(vctxs):
+        compiled = v.compiled
+        we = np.asarray(class_proof.wit_evals[i], np.uint64)
+        fe = np.asarray(class_proof.fixed_evals[i], np.uint64)
+        se = np.asarray(class_proof.structural_evals[i], np.uint64)
+        col_evals = (
+            np.concatenate([we, fe, se], axis=0)
+            if compiled.n_cols else np.zeros((0, 4), np.uint64)
+        )
+        acc = np.zeros(4, np.uint64)
+        for si_, slot in enumerate(compiled.slots):
+            slot_val = np.zeros(4, np.uint64)
+            for jj, tm in enumerate(slot.terms):
+                sc_val = E.eval_scalar(tm.scalar, challenges, instances)
+                p_run = sc_val
+                for st, cref in enumerate(tm.cols):
+                    cv = col_evals[_col_index(cref, compiled.n_wit,
+                                              compiled.n_fixed)]
+                    prod_rows["tid"].append(tid)
+                    prod_rows["step"].append(st)
+                    prod_rows["c"].append(cv)
+                    prod_rows["p"].append(p_run)
+                    p_run = exth.mul(p_run, cv)
+                    prod_rows["pc"].append(p_run)
+                term_rows["tid"].append(tid)
+                term_rows["sid"].append(sid)
+                term_rows["j"].append(jj)
+                term_rows["nc"].append(len(tm.cols))
+                term_rows["scalar"].append(sc_val)
+                term_rows["val"].append(p_run)
+                term_rows["s_in"].append(slot_val)
+                slot_val = exth.add(slot_val, p_run)
+                tid += 1
+            slot_rows["sid"].append(sid)
+            slot_rows["cidx"].append(cidx)
+            slot_rows["si"].append(si_)
+            slot_rows["nt"].append(len(slot.terms))
+            slot_rows["mult"].append(np.asarray(v.mults[si_], np.uint64))
+            slot_rows["slot_val"].append(slot_val)
+            slot_rows["a_in"].append(acc)
+            mv_ = exth.mul(np.asarray(v.mults[si_], np.uint64), slot_val)
+            slot_rows["mv"].append(mv_)
+            acc = exth.add(acc, mv_)
+            sid += 1
+        s_eq = sel_eq_eval(v.x_star, point, v.num_instances)
+        ga_ = exth.mul(gammas[i], s_eq)
+        gacc_ = exth.mul(ga_, acc)
+        gb_ = exth.mul(gammas[i], np.asarray(v.batched_claim, np.uint64))
+        chip_rows["cidx"].append(cidx)
+        chip_rows["h"].append(class_id)
+        chip_rows["i"].append(i)
+        chip_rows["ns"].append(len(compiled.slots))
+        chip_rows["gamma"].append(gammas[i])
+        chip_rows["s_eq"].append(s_eq)
+        chip_rows["acc"].append(acc)
+        chip_rows["bc"].append(np.asarray(v.batched_claim, np.uint64))
+        chip_rows["t_in"].append(total)
+        chip_rows["b_in"].append(btotal)
+        chip_rows["ga"].append(ga_)
+        chip_rows["gacc"].append(gacc_)
+        chip_rows["gb"].append(gb_)
+        total = exth.add(total, gacc_)
+        btotal = exth.add(btotal, gb_)
+        cidx += 1
+    if not np.array_equal(total, final_claim):
+        raise ValueError("class-main recombination mismatch in witgen")
+
+    def mat(cb, rows, base_keys, ext_keys):
+        n = len(rows[base_keys[0]]) if rows[base_keys[0]] else 0
+        cols: dict = {}
+        for kk in base_keys:
+            cols[kk] = np.asarray(rows[kk], np.uint64)
+        for kk in ext_keys:
+            v = (np.stack(rows[kk]) if n else np.zeros((0, 4), np.uint64))
+            G.assign_ext(cols, kk, v)
+        out = np.zeros((len(cb.wit_names), n), np.uint64)
+        for jj, name in enumerate(cb.wit_names):
+            out[jj] = np.asarray(cols[name], np.uint64) % P
+        return out
+
+    prod_wit = mat(chips.prod_cb, prod_rows, ["tid", "step"], ["c", "p", "pc"])
+    term_wit = mat(chips.term_cb, term_rows, ["tid", "sid", "j", "nc"],
+                   ["scalar", "val", "s_in"])
+    slot_wit = mat(chips.slot_cb, slot_rows, ["sid", "cidx", "si", "nt"],
+                   ["mult", "slot_val", "a_in", "mv"])
+    chip_wit = mat(chips.chip_cb, chip_rows, ["cidx", "h", "i", "ns"],
+                   ["gamma", "s_eq", "acc", "bc", "t_in", "b_in",
+                    "ga", "gacc", "gb"])
+    fcols: dict = {
+        "h": np.array([class_id], np.uint64),
+        "nchips": np.array([len(vctxs)], np.uint64),
+        "nv": np.array([n_vars], np.uint64),
+    }
+    G.assign_ext(fcols, "total", total[None])
+    G.assign_ext(fcols, "btotal", combined[None])
+    G.assign_ext(fcols, "fc", final_claim[None])
+    final_wit = np.zeros((len(chips.final_cb.wit_names), 1), np.uint64)
+    for jj, name in enumerate(chips.final_cb.wit_names):
+        final_wit[jj] = np.asarray(fcols[name], np.uint64) % P
+    return prod_wit, term_wit, slot_wit, chip_wit, final_wit, sc_cols, deg

@@ -388,3 +388,93 @@ def test_jagged_verify_chips_real_opening():
         raise_on_error=False,
     )
     assert errs2
+
+
+def test_class_main_verify_chips_real_class():
+    """Class-main recombination chips (RECURSION.md #5) verify a REAL
+    class-batched main zerocheck in-circuit: generic term-product / slot /
+    chip / class chains with the geometry enforced by bus balance, the
+    final chip binding the class total to the class sumcheck's claim chain
+    (proved on the standard rounds chip)."""
+    from ceno_tpu.gkr.chip import (
+        build_tower_inputs, prove_group_towers, prove_class_main,
+        verify_group_towers,
+    )
+    from ceno_tpu.gkr.mock import MockProver as MP
+
+    # two real chips of the same height class: sumcheck-verify rounds chips
+    # over two independent live sumchecks
+    sc_chips = R.build_sumcheck_verify_chips(DEG, N_VARS)
+    challenges = rng.integers(1, bb.P, size=(2, 4), dtype=np.uint64)
+    wits = []
+    for seed in (0, 1):
+        trs = _real_transcripts(1)
+        rw, _, _ = R.assign_sumcheck_verify(sc_chips, trs)
+        wits.append(_pad(rw, rw.shape[1]))
+    n = wits[0].shape[1]
+    assert n == wits[1].shape[1]
+    n_vars = n.bit_length() - 1
+    compiled = sc_chips.rounds_compiled
+    zeros = np.zeros((0, n), np.uint64)
+
+    tp = Transcript(b"cm-rec")
+    inputs = [
+        build_tower_inputs(compiled, w, zeros, zeros, np.zeros(0),
+                           w.shape[1], challenges)
+        for w in wits
+    ]
+    tower_proof, ctxs = prove_group_towers(inputs, tp)
+    class_proof, _opens = prove_class_main(ctxs, np.zeros(0), challenges, tp)
+
+    tv = Transcript(b"cm-rec")
+    entries = [(compiled, w.shape[1], n_vars) for w in wits]
+    results = verify_group_towers(entries, tower_proof, np.zeros(0),
+                                  challenges, tv)
+    vctxs = [r[0] for r in results]
+
+    cm = R.build_class_main_verify_chips()
+    pw, tw, sw, cw, fw, sc_cols, deg = R.assign_class_main_verify(
+        cm, vctxs, class_proof, np.zeros(0), challenges, tv
+    )
+    sc2 = R.build_sumcheck_verify_chips(deg, n_vars)
+    sc_wit = np.zeros((len(sc2.rounds_cb.wit_names), n_vars), np.uint64)
+    for j, name in enumerate(sc2.rounds_cb.wit_names):
+        sc_wit[j] = np.asarray(sc_cols[name], np.uint64) % np.uint64(bb.P)
+
+    def mkset(compiled_, cb, wit):
+        k = wit.shape[1]
+        w = _pad(wit, k)
+        return (compiled_, cb, w, np.zeros((0, w.shape[1]), np.uint64),
+                np.zeros(0), k)
+
+    sets = [
+        mkset(cm.prod_compiled, cm.prod_cb, pw),
+        mkset(cm.term_compiled, cm.term_cb, tw),
+        mkset(cm.slot_compiled, cm.slot_cb, sw),
+        mkset(cm.chip_compiled, cm.chip_cb, cw),
+        mkset(cm.final_compiled, cm.final_cb, fw),
+        mkset(sc2.rounds_compiled, sc2.rounds_cb, sc_wit),
+    ]
+    assert MP.assert_satisfied(sets) == []
+
+    # tamper one column eval in the term-product chain: some chain breaks
+    bad = sets[0][2].copy()
+    ci = cm.prod_cb.wit_names.index("c_2")
+    bad[ci, 1] = (int(bad[ci, 1]) + 1) % bb.P
+    errs = MP.assert_satisfied(
+        [(cm.prod_compiled, cm.prod_cb, bad, sets[0][3], sets[0][4],
+          sets[0][5])] + sets[1:],
+        raise_on_error=False,
+    )
+    assert errs
+
+    # tamper a slot multiplier: the chip-acc chain must break
+    bad_s = sets[2][2].copy()
+    mi = cm.slot_cb.wit_names.index("mult_0")
+    bad_s[mi, 0] = (int(bad_s[mi, 0]) + 1) % bb.P
+    errs2 = MP.assert_satisfied(
+        sets[:2] + [(cm.slot_compiled, cm.slot_cb, bad_s, sets[2][3],
+                     sets[2][4], sets[2][5])] + sets[3:],
+        raise_on_error=False,
+    )
+    assert errs2
