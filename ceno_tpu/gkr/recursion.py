@@ -483,9 +483,11 @@ class TowerVerifyChips:
     s_p: int
     s_l: int
     n_vars: int
+    sc_base: int = 0
 
 
-def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int) -> TowerVerifyChips:
+def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
+                             sc_base: int = 0) -> TowerVerifyChips:
     n_claims = s_p + 2 * s_l
     n_evals = 2 * s_p + 4 * s_l
     sc = build_sumcheck_verify_chips(3, n_vars)  # rounds chip reused as-is
@@ -506,7 +508,7 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int) -> TowerVerifyChip
     batched = bt[0]
     for t in bt[1:]:
         batched = batched.add(t)
-    sc_inst = inst * n_vars + level
+    sc_inst = inst * n_vars + level + sc_base
     schead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), sc_inst]
     cb.write_record(schead + [E.Const(0)] + batched.c)
     cb.read_record(schead + [level] + final_claim.c)
@@ -583,17 +585,20 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int) -> TowerVerifyChip
     ends_compiled = compile_chip(eb)
     return TowerVerifyChips(sc.rounds_cb, sc.rounds_compiled,
                             cb, bound_compiled, eb, ends_compiled,
-                            s_p, s_l, n_vars)
+                            s_p, s_l, n_vars, sc_base)
 
 
 def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
-                        transcript: Transcript):
+                        transcript: Transcript, inst0: int = 0):
     """Witgen by transcript replay (the witgen mirror of verify_towers).
 
     ``proofs``: list of TowerProof, all with the same n_vars and the chip's
     (s_p, s_l) spec shape; ``transcript`` must be positioned exactly where
     the verifier's would be (absorbs happen here). Returns
-    (rounds_wit, bound_wit, ends_wit, record_claims (m, n_claims, 4))."""
+    (rounds_wit, bound_wit, ends_wit, record_claims (m, n_claims, 4)).
+    ``inst0`` offsets the tower instance ids (and thus the TowerClaim and
+    SumcheckClaim bus keys, the latter also shifted by the build-time
+    sc_base) so multiple groups share one global bus namespace."""
     from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
 
     s_p, s_l, n_vars = chips.s_p, chips.s_l, chips.n_vars
@@ -604,7 +609,7 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     sc_rows = []          # dicts for the rounds chip
     brows: dict = {k: [] for k in ("inst", "level")}
     bext: dict = {}       # name -> list of (4,) values, boundary ext wires
-    erows: dict = {"inst": np.arange(m, dtype=np.uint64)}
+    erows: dict = {"inst": inst0 + np.arange(m, dtype=np.uint64)}
     eext: dict = {}
     record_claims = np.zeros((m, n_claims, 4), np.uint64)
 
@@ -657,7 +662,8 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
             cur = batched
             for r in range(level):
                 sc_rows.append({
-                    "inst": i * n_vars + level, "round": r,
+                    "inst": (inst0 + i) * n_vars + level + chips.sc_base,
+                    "round": r,
                     "ys": msgs[r], "alpha": chals[r], "claim_in": cur,
                 })
                 cur = lagrange_extrapolate(msgs[r], chals[r])
@@ -665,7 +671,7 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
 
             evals = np.asarray(proof.level_evals[level - 1], np.uint64)
             eq_v = exth.eq_eval(rt.astype(np.uint64), point)
-            brows["inst"].append(i)
+            brows["inst"].append(inst0 + i)
             brows["level"].append(level)
             for j in range(n_claims):
                 bput(f"cin{j}", claims[j])
@@ -752,9 +758,10 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     for name, vals in bext.items():
         G.assign_ext(bcols, name, np.stack(vals))
     bound_wit = np.zeros((len(chips.bound_cb.wit_names), n_b), np.uint64)
-    for j, name in enumerate(chips.bound_cb.wit_names):
-        assert name in bcols, name
-        bound_wit[j] = np.asarray(bcols[name], np.uint64) % P
+    if n_b:
+        for j, name in enumerate(chips.bound_cb.wit_names):
+            assert name in bcols, name
+            bound_wit[j] = np.asarray(bcols[name], np.uint64) % P
 
     ecols: dict = dict(erows)
     for name, vals in eext.items():

@@ -495,9 +495,17 @@ class ZKVMError(Exception):
 
 
 def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
-           is_last: bool = True, standalone: bool = True) -> bool:
+           is_last: bool = True, standalone: bool = True,
+           capture: dict | None = None) -> bool:
     """Verify one shard proof. ``standalone`` (the single-shard public API)
-    additionally requires shard_id == 0 and an empty cross-shard bus."""
+    additionally requires shard_id == 0 and an empty cross-shard bus.
+
+    ``capture`` (aggregation hook, zkvm/aggregate.py): when a dict is
+    passed, each tower-group / class-main stage records its inputs plus a
+    CLONE of the transcript taken just before the stage runs, so the
+    recursion witgen mirrors (gkr/recursion.py) can replay the identical
+    interaction without re-deriving the verify prefix. Verification
+    semantics are unchanged."""
     pv = np.asarray(proof.public_values, np.uint64)
     if len(pv) != N_PUBLIC_VALUES:
         raise ZKVMError("bad public value count")
@@ -593,6 +601,12 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
              heights[ci].bit_length() - 1)
             for ci in members
         ]
+        if capture is not None:
+            capture.setdefault("towers", []).append(
+                (n_t, entries, proof.tower_groups[n_t], t.clone())
+            )
+            capture["challenges"] = challenges
+            capture["pv"] = pv
         results = chiplib.verify_group_towers(
             entries, proof.tower_groups[n_t], pv, challenges, t
         )
@@ -619,6 +633,11 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     openings = [None] * len(vk.metas)
     for h in sorted(wit_layout):
         members = [ci for ci, _, _ in wit_layout[h]]
+        if capture is not None:
+            capture.setdefault("class_main", []).append(
+                (h, [vctxs[ci] for ci in members], proof.class_main[h],
+                 t.clone())
+            )
         opens = chiplib.verify_class_main(
             [vctxs[ci] for ci in members], proof.class_main[h], pv, challenges, t
         )
