@@ -512,6 +512,13 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
     schead = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), sc_inst]
     cb.write_record(schead + [E.Const(0)] + batched.c)
     cb.read_record(schead + [level] + final_claim.c)
+    # eq_v = eq(rt, point) is COMPUTED in-circuit: the boundary row starts a
+    # generic eq1-chain (the jagged rows chip walks it, one factor per rt
+    # coordinate) and reads the level-length product back.
+    eqhead = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_CHAIN), sc_inst]
+    cb.write_record(eqhead + [E.Const(0)]
+                    + G.ExtWire.constant(exth.one()).c)
+    cb.read_record(eqhead + [level] + eq_v.c)
 
     # recombination: final_claim == eq_v * sum_s alpha-weighted relations
     terms = []
