@@ -33,6 +33,7 @@ from ..mle import ops
 from ..sumcheck import prover as sc_prover
 from ..sumcheck import verifier as sc_verifier
 from ..sumcheck.prover import TermSpec
+from ..utils import aotcache as aot
 from . import tower
 from .circuit_builder import CircuitBuilder, StructuralSpec
 
@@ -390,6 +391,18 @@ def build_records_from_sel(compiled: CompiledChip, wit, fixed, structural,
     return mr, mw, p, q
 
 
+def chip_digest(compiled: CompiledChip) -> str:
+    """Stable digest of a chip's full constraint structure (expression nodes
+    are frozen dataclasses, so repr is deterministic). Keys the AOT
+    executable cache for per-chip closure programs."""
+    import hashlib
+
+    r = repr((compiled.name, compiled.n_wit, compiled.n_fixed,
+              compiled.structural, compiled.r_exprs, compiled.w_exprs,
+              compiled.lk_exprs, compiled.lk_table, compiled.slots))
+    return hashlib.sha256(r.encode()).hexdigest()[:16]
+
+
 def make_record_builder(compiled: CompiledChip):
     """Jitted fn: (wit, fixed, structural, inst, chals, num_instances) ->
     (Mr, Mw, P, Q) interleaved record MLEs of size 2^rho * N each (or None
@@ -404,7 +417,7 @@ def make_record_builder(compiled: CompiledChip):
             compiled, wit, fixed, structural, inst, chals, sel
         )
 
-    return jax.jit(build)
+    return aot.wrap(build, key=f"records:{chip_digest(compiled)}")
 
 
 # ---------------------------------------------------------------------------
@@ -633,7 +646,7 @@ def _slot_multipliers(compiled: CompiledChip, b_star: np.ndarray, transcript):
     return mults, meta
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@aot.jit(static_argnames=("n",))
 def _masked_eq(rt, num_instances, n: int):
     eq = ops.build_eq(rt)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]

@@ -464,12 +464,88 @@ def assign_merkle_paths(chips: MerklePathChips, walks: list):
 #     record claims at level n_vars, and exposes the claimed totals
 #     (products / fraction parts) as gadget wires the outer statement binds.
 #
-# Challenges (rt0, alphas, mu) and eq_v are witness wires here — bound by
-# the outer statement exactly like build order #2; the FS duplex chips
-# (build order #3) replace them when the full transcript chain is wired.
+# Challenges (rt0, alphas, mu) are witness wires here — bound by the outer
+# statement exactly like build order #2; the FS duplex chips (build order
+# #3) replace them when the full transcript chain is wired. eq_v is NOT a
+# free wire: each boundary row starts an eq1 chain on the bus and the
+# shared eq-rows chip (build_eq_rows_chip) computes eq(rt, point) factor by
+# factor; the boundary reads the finished product back.
 # ---------------------------------------------------------------------------
 
 TAG_TOWER_CLAIM = 6
+TAG_EQ_CHAIN = 7
+
+
+def build_eq_rows_chip():
+    """The generic eq1-chain rows chip: one row multiplies a running product
+    by eq1(z, r) = 1 - z - r + 2zr (one eq factor per point coordinate),
+    chained over the bus as (EqChain, cid, k, acc) -> (EqChain, cid, k+1,
+    acc * eq1). Shared by the jagged-weight and tower-eq recombinations —
+    any consumer starts a chain by writing (EqChain, cid, 0, 1) and reads
+    the finished product back at its chain length."""
+    cb = CircuitBuilder("eq_chain_rows")
+    cid = cb.create_witin("cid")
+    k = cb.create_witin("k")
+    z = G.ext_witness(cb, "z")
+    r = G.ext_witness(cb, "r")
+    acc_in = G.ext_witness(cb, "acc")
+    zr = G.ext_mul(cb, "zr", z, r)
+    one = G.ExtWire.constant(exth.one())
+    factor = one.sub(z).sub(r).add(zr.scale(2))
+    acc_out = G.ext_mul(cb, "accn", acc_in, factor)
+    head = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_CHAIN), cid]
+    cb.read_record(head + [k] + acc_in.c)
+    cb.write_record(head + [k + 1] + acc_out.c)
+    return cb, compile_chip(cb)
+
+
+class _EqRowsCollector:
+    """Witgen-side accumulator matching build_eq_rows_chip's columns."""
+
+    def __init__(self):
+        self.cid: list = []
+        self.k: list = []
+        self.z: list = []
+        self.r: list = []
+        self.acc: list = []
+        self.zr: list = []
+        self.accn: list = []
+
+    def chain(self, cid: int, zs, rs):
+        """Walk one eq1 chain (zs, rs: (n, 4) point lists) starting from
+        acc=1; returns the final product (= eq(zs, rs))."""
+        zs = np.asarray(zs, np.uint64)
+        rs = np.asarray(rs, np.uint64)
+        acc = exth.one()
+        one = exth.one()
+        for kk in range(zs.shape[0]):
+            zk, rk = zs[kk], rs[kk]
+            self.cid.append(cid)
+            self.k.append(kk)
+            self.z.append(zk)
+            self.r.append(rk)
+            self.acc.append(acc)
+            zr = exth.mul(zk, rk)
+            self.zr.append(zr)
+            f = exth.sub(exth.add(one, exth.add(zr, zr)), exth.add(zk, rk))
+            acc = exth.mul(acc, f)
+            self.accn.append(acc)
+        return acc
+
+    def materialize(self, cb: CircuitBuilder) -> np.ndarray:
+        n = len(self.cid)
+        cols: dict = {
+            "cid": np.array(self.cid, np.uint64),
+            "k": np.array(self.k, np.uint64),
+        }
+        for name, vals in (("z", self.z), ("r", self.r), ("acc", self.acc),
+                           ("zr", self.zr), ("accn", self.accn)):
+            arr = np.stack(vals) if n else np.zeros((0, 4), np.uint64)
+            G.assign_ext(cols, name, arr)
+        wit = np.zeros((len(cb.wit_names), n), np.uint64)
+        for j, name in enumerate(cb.wit_names):
+            wit[j] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+        return wit
 
 
 @dataclass
@@ -480,6 +556,8 @@ class TowerVerifyChips:
     bound_compiled: object
     ends_cb: CircuitBuilder
     ends_compiled: object
+    eqrows_cb: CircuitBuilder
+    eqrows_compiled: object
     s_p: int
     s_l: int
     n_vars: int
@@ -590,8 +668,10 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
     eb.write_record(ehead + [E.Const(1)] + [c for w in init_claims for c in w.c])
     eb.read_record(ehead + [E.Const(n_vars)] + [c for w in rc for c in w.c])
     ends_compiled = compile_chip(eb)
+    eq_cb, eq_compiled = build_eq_rows_chip()
     return TowerVerifyChips(sc.rounds_cb, sc.rounds_compiled,
                             cb, bound_compiled, eb, ends_compiled,
+                            eq_cb, eq_compiled,
                             s_p, s_l, n_vars, sc_base)
 
 
@@ -602,7 +682,10 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     ``proofs``: list of TowerProof, all with the same n_vars and the chip's
     (s_p, s_l) spec shape; ``transcript`` must be positioned exactly where
     the verifier's would be (absorbs happen here). Returns
-    (rounds_wit, bound_wit, ends_wit, record_claims (m, n_claims, 4)).
+    (rounds_wit, bound_wit, eqrows_wit, ends_wit,
+    record_claims (m, n_claims, 4)) — eqrows_wit carries the eq1-chain
+    rows (build_eq_rows_chip) that compute each boundary row's
+    eq_v = eq(rt, point) in-circuit.
     ``inst0`` offsets the tower instance ids (and thus the TowerClaim and
     SumcheckClaim bus keys, the latter also shifted by the build-time
     sc_base) so multiple groups share one global bus namespace."""
@@ -616,6 +699,7 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     sc_rows = []          # dicts for the rounds chip
     brows: dict = {k: [] for k in ("inst", "level")}
     bext: dict = {}       # name -> list of (4,) values, boundary ext wires
+    eqrows = _EqRowsCollector()
     erows: dict = {"inst": inst0 + np.arange(m, dtype=np.uint64)}
     eext: dict = {}
     record_claims = np.zeros((m, n_claims, 4), np.uint64)
@@ -677,7 +761,13 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
             assert np.array_equal(cur, final_claim)
 
             evals = np.asarray(proof.level_evals[level - 1], np.uint64)
-            eq_v = exth.eq_eval(rt.astype(np.uint64), point)
+            # eq_v is computed in-circuit by an eq1 chain of `level` rows
+            # keyed on this level's sumcheck instance id
+            eq_v = eqrows.chain(
+                (inst0 + i) * n_vars + level + chips.sc_base,
+                rt.astype(np.uint64), point,
+            )
+            assert np.array_equal(eq_v, exth.eq_eval(rt.astype(np.uint64), point))
             brows["inst"].append(inst0 + i)
             brows["level"].append(level)
             for j in range(n_claims):
@@ -777,7 +867,8 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     for j, name in enumerate(chips.ends_cb.wit_names):
         assert name in ecols, name
         ends_wit[j] = np.asarray(ecols[name], np.uint64) % P
-    return rounds_wit, bound_wit, ends_wit, record_claims
+    eqrows_wit = eqrows.materialize(chips.eqrows_cb)
+    return rounds_wit, bound_wit, eqrows_wit, ends_wit, record_claims
 
 
 def _fold2(v0, v1, r):
@@ -820,7 +911,6 @@ def _fold2(v0, v1, r):
 #     wires the outer statement (FS chips) binds.
 # ---------------------------------------------------------------------------
 
-TAG_EQ_CHAIN = 7
 TAG_EQ_SUM = 8
 TAG_B_SUM = 9
 
@@ -838,21 +928,9 @@ class JaggedVerifyChips:
 
 
 def build_jagged_verify_chips(log_r: int, n_claims: int) -> JaggedVerifyChips:
-    # -- eq-chain rows chip ---------------------------------------------------
-    cb = CircuitBuilder("jagged_eq_rows")
-    cid = cb.create_witin("cid")
-    k = cb.create_witin("k")
-    z = G.ext_witness(cb, "z")
-    r = G.ext_witness(cb, "r")
-    acc_in = G.ext_witness(cb, "acc")
-    zr = G.ext_mul(cb, "zr", z, r)
+    # -- eq-chain rows chip (shared shape with the tower eq chains) -----------
+    cb, rows_compiled = build_eq_rows_chip()
     one = G.ExtWire.constant(exth.one())
-    factor = one.sub(z).sub(r).add(zr.scale(2))
-    acc_out = G.ext_mul(cb, "accn", acc_in, factor)
-    head = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_CHAIN), cid]
-    cb.read_record(head + [k] + acc_in.c)
-    cb.write_record(head + [k + 1] + acc_out.c)
-    rows_compiled = compile_chip(cb)
 
     # -- per-claim chip -------------------------------------------------------
     qb = CircuitBuilder("jagged_claims")
@@ -902,12 +980,15 @@ def build_jagged_verify_chips(log_r: int, n_claims: int) -> JaggedVerifyChips:
 
 
 def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
-                         proof, transcript: Transcript, jid: int = 0):
+                         proof, transcript: Transcript, jid: int = 0,
+                         cid_base: int = 0):
     """Witgen mirror of verify_jagged's recombination (+ the translation
     sumcheck's rounds-chip rows). ``transcript`` must sit where the jagged
     verifier's would. Returns (rows_wit, claims_wit, final_wit, sc_cols) —
     sc_cols is the column dict for the deg-2 sumcheck ROUNDS chip
-    (build_sumcheck_verify_chips(2, ...).rounds_cb names)."""
+    (build_sumcheck_verify_chips(2, ...).rounds_cb names). ``cid_base``
+    offsets the EqChain cids (claim t -> cid_base + t) so jagged chains
+    share the global bus namespace with the tower eq chains."""
     from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
 
     log_r = chips.log_r
@@ -971,7 +1052,8 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
             accns[row] = acc
         ws[tt] = acc
     rcols: dict = {
-        "cid": np.repeat(np.arange(n_claims, dtype=np.uint64), log_r),
+        "cid": np.repeat(cid_base + np.arange(n_claims, dtype=np.uint64),
+                         log_r),
         "k": np.tile(np.arange(log_r, dtype=np.uint64), n_claims),
     }
     G.assign_ext(rcols, "z", zs)
@@ -1002,7 +1084,7 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
     qcols: dict = {
         "jid": np.full(n_claims, jid, np.uint64),
         "t": np.arange(n_claims, dtype=np.uint64),
-        "cid": np.arange(n_claims, dtype=np.uint64),
+        "cid": cid_base + np.arange(n_claims, dtype=np.uint64),
     }
     G.assign_ext(qcols, "gamma", gammas)
     G.assign_ext(qcols, "value", vals)

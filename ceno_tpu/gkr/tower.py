@@ -42,6 +42,7 @@ from ..hash.transcript import Transcript
 from ..mle import ops
 from ..sumcheck import prover as sc_prover
 from ..sumcheck import verifier as sc_verifier
+from ..utils import aotcache as aot
 from ..sumcheck import host_impl as H
 from ..sumcheck.prover import TermSpec
 
@@ -50,7 +51,7 @@ from ..sumcheck.prover import TermSpec
 # Witness layer inference (device)
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@aot.jit
 def product_layers(v):
     """All layers of the product tree, input (4, N) ext -> [layer1, ..., input].
 
@@ -79,13 +80,13 @@ _TOWER_HOST_N = int(_os.environ.get("CENO_TPU_TOWER_HOST_N", 0)) or (
 )
 
 
-@jax.jit
+@aot.jit
 def _pack_layers(layers):
     """Concatenate a tuple of (4, m) layers into one (4, sum m) array."""
     return jnp.concatenate(layers, axis=-1)
 
 
-@jax.jit
+@aot.jit
 def split_specs(layers):
     """Split each (4, 2h) layer into contiguous halves, returned as ONE
     (4, 2*S, h) block (cols ordered [lo_0, hi_0, lo_1, hi_1, ...]). A single
@@ -100,7 +101,7 @@ def split_specs(layers):
     return jnp.concatenate(out, axis=1)
 
 
-@jax.jit
+@aot.jit
 def logup_layers(p, q):
     """Fraction-sum tree: returns (p_layers, q_layers) tuples, layer1 first."""
     ps, qs = [p], [q]
@@ -650,7 +651,7 @@ def _fused_tower_levels_impl(level_layers, t_state, rt1, *, n_prod, n_logup,
     return jnp.concatenate(flat_parts), duplex.state
 
 
-_fused_tower_levels = jax.jit(
+_fused_tower_levels = aot.jit(
     _fused_tower_levels_impl,
     static_argnames=("n_prod", "n_logup", "first_level", "n_vars", "pos",
                      "sq_pos", "absorbed"),

@@ -65,8 +65,10 @@ def evaluate(m, point):
 
 import jax as _jax
 
+from ..utils import aotcache as _aot
 
-@_jax.jit
+
+@_aot.jit
 def build_eq_jit(point):
     """Jitted build_eq (one XLA program per point length)."""
     return build_eq(point)

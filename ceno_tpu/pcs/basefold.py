@@ -50,6 +50,7 @@ from ..fields import babybear as bb
 from ..fields import ext4
 from ..fields import ext4_host as exth
 from ..hash.transcript import Transcript
+from ..utils import aotcache as aot
 from ..mle import ops
 from ..sumcheck import prover as sc_prover
 from ..sumcheck import verifier as sc_verifier
@@ -134,7 +135,7 @@ def _invw_dev(log_m: int):
 # Device kernels
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@aot.jit
 def combine_columns(cols, weights):
     """sum_j weights[:, j] * cols[j]: (C, N) x (4, C) -> (4, N) ext."""
 
@@ -148,7 +149,7 @@ def combine_columns(cols, weights):
     return acc
 
 
-@jax.jit
+@aot.jit
 def fold_codewords_and_tree(us, r, invw):
     """Fused fold + Merkle of the K per-point oracles (one device call).
 
@@ -160,13 +161,13 @@ def fold_codewords_and_tree(us, r, invw):
     return folded, leaves, levels
 
 
-@jax.jit
+@aot.jit
 def fold_codewords(us, r, invw):
     """us (K, 4, M) -> (K, 4, M/2)."""
     return jax.vmap(lambda u: fold_codeword(u, r, invw))(us)
 
 
-@jax.jit
+@aot.jit
 def fold_codeword(u, r, invw):
     """One Basefold fold: (4, M) -> (4, M/2). invw (M/2,) Monty twiddles."""
     half = u.shape[1] // 2

@@ -40,6 +40,7 @@ from ..fields import babybear as bb
 from ..fields import ext4
 from ..fields import ext4_host as exth
 from ..mle import ops
+from ..utils import aotcache as aot
 from ..sumcheck import prover as sc_prover
 from ..sumcheck import verifier as sc_verifier
 from ..sumcheck import host_impl as H
@@ -116,13 +117,18 @@ def _point_key(z: np.ndarray) -> bytes:
     return np.ascontiguousarray(z, np.uint64).tobytes()
 
 
-@jax.jit
+@aot.jit
 def _weight_block(g, eq):
     """Outer-product weight block: g (4, C, per) Monty gamma grid, eq (4, h)
     -> ONE (4, C, per*h) array. A single program output is load-bearing:
     per-column outputs each pay a tunnel round trip (measured 176s vs 0.04s
     at the 2^20 bench shape); the sumcheck banks accept (4, k, N) blocks."""
-    w = ext4.mul(g[:, :, :, None], eq[:, None, None, :])  # (4, C, per, h)
+    # broadcast over a FLAT (C*per) axis with h minor: a 4-D (4, C, per, h)
+    # broadcast lets XLA pick a layout with the tiny C axis minor (observed:
+    # (h, 2) intermediates tiled T(8,128) = 64x padding -> compile-time HBM
+    # OOM at torture shapes); (4, C*per, h) keeps the big axis minor.
+    g2 = g.reshape(4, -1)                                  # (4, C*per)
+    w = ext4.mul(g2[:, :, None], eq[:, None, :])           # (4, C*per, h)
     return w.reshape(4, g.shape[1], -1)
 
 

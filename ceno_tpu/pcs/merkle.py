@@ -21,9 +21,10 @@ import jax.numpy as jnp
 
 from ..fields import babybear as bb
 from ..hash import poseidon2 as p2
+from ..utils import aotcache as aot
 
 
-@jax.jit
+@aot.jit
 def hash_and_tree(cols):
     """cols (C, M) Monty -> (leaf_digests (8, M), levels tuple of (8, m))."""
     c, m = cols.shape
@@ -46,7 +47,7 @@ def hash_and_tree(cols):
     return leaves, tuple(levels)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@aot.jit(static_argnames=())
 def gather_rows(cols, idx):
     """cols (C, M), idx (Q,) int32 -> (C, Q) Monty values."""
     return cols[:, idx]
@@ -75,7 +76,7 @@ def host_build_levels(leaves: np.ndarray) -> list:
     return levels
 
 
-@jax.jit
+@aot.jit
 def _root_slice(level):
     return level[:, 0]
 

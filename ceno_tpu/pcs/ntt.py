@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import babybear as bb
+from ..utils import aotcache as aot
 
 
 @functools.lru_cache(maxsize=None)
@@ -147,7 +148,7 @@ def np_encode(evals: np.ndarray, *, blowup_log: int) -> np.ndarray:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("blowup_log", "reverse_vars"))
+@aot.jit(static_argnames=("blowup_log", "reverse_vars"))
 def encode(evals, *, blowup_log: int, reverse_vars: bool = True):
     """Full Basefold encoding: (C, N) Monty evals -> (C, N << blowup_log)
     codewords. ``reverse_vars`` commits the variable-reversed multilinear

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..fields import babybear as bb
 from ..hash import poseidon2 as p2
 from . import terms as T
+from ..utils import aotcache as aot
 
 
 class _DeviceDuplex:
@@ -72,9 +73,7 @@ def pick_head(n_vars: int) -> int:
     return min(max(0, n_vars - 1 - SCAN_MAX_LOG), max(n_vars - 1, 0))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("deg", "k", "pos", "sq_pos", "absorbed", "head")
-)
+@aot.jit(static_argnames=("deg", "k", "pos", "sq_pos", "absorbed", "head"))
 def fused_rounds(
     base_bank, ext_bank, bidx, eidx, midx, scalars, t_state,
     *, deg: int, k: int, pos: int, sq_pos: int, absorbed: bool, head: int = 0,

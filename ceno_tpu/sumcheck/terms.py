@@ -32,11 +32,12 @@ import jax.numpy as jnp
 
 from ..fields import babybear as bb
 from ..fields import ext4
+from ..utils import aotcache as aot
 
 SMALL_N = 2048
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@aot.jit(static_argnames=("n",))
 def make_banks(base_cols, ext_cols, n: int):
     """Stack column lists into padded banks (appends the ones sentinel col).
 
@@ -103,7 +104,7 @@ def _term_contrib(blo, bdiff, elo, ediff, scalar, deg: int):
     return jnp.moveaxis(out, 0, 1)                  # (deg+1, 4)
 
 
-@functools.partial(jax.jit, static_argnames=("deg",))
+@aot.jit(static_argnames=("deg",))
 def round_evals(base_bank, ext_bank, bidx, eidx, scalars, *, deg: int):
     """Batched univariate evals: (deg+1, 4) Monty.
 
@@ -133,7 +134,7 @@ def round_evals(base_bank, ext_bank, bidx, eidx, scalars, *, deg: int):
         return acc
 
 
-@jax.jit
+@aot.jit
 def fold_banks(base_bank, ext_bank, r):
     """Fold every column by ext challenge r: returns merged ext bank
     (4, Cb+Ce+1, N/2) ordered [base cols..., ext cols..., ones]."""
@@ -154,7 +155,7 @@ def fold_banks(base_bank, ext_bank, r):
     return jnp.concatenate([folded_base[:, :-1], folded_ext], axis=1)
 
 
-@jax.jit
+@aot.jit
 def fold_ext_bank(ext_bank, r):
     """Fold an all-ext bank (4, C, N) -> (4, C, N/2)."""
     elo, ediff = _split(ext_bank, axis=2)
@@ -169,7 +170,7 @@ def merge_indices(bidx: np.ndarray, eidx: np.ndarray, n_base: int, n_ext: int):
     return np.concatenate([b, e], axis=1).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("deg",))
+@aot.jit(static_argnames=("deg",))
 def round_evals_ext(ext_bank, idx, scalars, *, deg: int):
     """Round evals when every column is ext (rounds >= 1)."""
     empty_base = jnp.zeros((1, ext_bank.shape[2]), bb.DTYPE)
@@ -177,7 +178,7 @@ def round_evals_ext(ext_bank, idx, scalars, *, deg: int):
     return round_evals(empty_base, ext_bank, empty_bidx, idx, scalars, deg=deg)
 
 
-@jax.jit
+@aot.jit
 def final_evals(ext_bank):
     """After all rounds each column has length 1: return (4, C) opening evals."""
     return ext_bank[..., 0]
@@ -187,7 +188,7 @@ def final_evals(ext_bank):
 # next round's univariate — ONE device call per round instead of two (the
 # axon tunnel's per-call latency dominates small rounds).
 
-@functools.partial(jax.jit, static_argnames=("deg",))
+@aot.jit(static_argnames=("deg",))
 def fold_mixed_then_round(base_bank, ext_bank, r, midx, scalars, *, deg: int):
     merged = fold_banks(base_bank, ext_bank, r)
     empty_base = jnp.zeros((1, merged.shape[2]), bb.DTYPE)
@@ -196,7 +197,7 @@ def fold_mixed_then_round(base_bank, ext_bank, r, midx, scalars, *, deg: int):
     return ev, merged
 
 
-@functools.partial(jax.jit, static_argnames=("deg",))
+@aot.jit(static_argnames=("deg",))
 def fold_ext_then_round(ext_bank, r, midx, scalars, *, deg: int):
     merged = fold_ext_bank(ext_bank, r)
     empty_base = jnp.zeros((1, merged.shape[2]), bb.DTYPE)

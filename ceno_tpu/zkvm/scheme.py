@@ -576,6 +576,9 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         t.append([proof.num_instances[ci] % bb.P])
 
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
+    if capture is not None:
+        capture["challenges"] = challenges
+        capture["pv"] = pv
 
     # grouped tower verification: reconstruct the prover's grouping from
     # public chip geometry (N_t = height << rho), ascending N_t, chips in
@@ -605,8 +608,6 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             capture.setdefault("towers", []).append(
                 (n_t, entries, proof.tower_groups[n_t], t.clone())
             )
-            capture["challenges"] = challenges
-            capture["pv"] = pv
         results = chiplib.verify_group_towers(
             entries, proof.tower_groups[n_t], pv, challenges, t
         )

@@ -257,19 +257,21 @@ def test_tower_verify_chips_real_tower():
 
     chips = R.build_tower_verify_chips(s_p, s_l, n_vars)
     tv = Transcript(b"tower-rec")
-    rw, bw, ew, rec_claims = R.assign_tower_verify(chips, [proof], tv)
+    rw, bw, qw, ew, rec_claims = R.assign_tower_verify(chips, [proof], tv)
     # the ends chip read back the true record-MLE claims
     assert np.array_equal(rec_claims[0, :s_p], prod_claims)
     assert np.array_equal(rec_claims[0, s_p], logup_claims[0][0])
     assert np.array_equal(rec_claims[0, s_p + 1], logup_claims[0][1])
 
-    kr, kb, ke = rw.shape[1], bw.shape[1], ew.shape[1]
-    rwp, bwp, ewp = _pad(rw, kr), _pad(bw, kb), _pad(ew, ke)
+    kr, kb, kq, ke = rw.shape[1], bw.shape[1], qw.shape[1], ew.shape[1]
+    rwp, bwp, qwp, ewp = _pad(rw, kr), _pad(bw, kb), _pad(qw, kq), _pad(ew, ke)
     sets = [
         (chips.rounds_compiled, chips.rounds_cb, rwp,
          np.zeros((0, rwp.shape[1]), np.uint64), np.zeros(0), kr),
         (chips.bound_compiled, chips.bound_cb, bwp,
          np.zeros((0, bwp.shape[1]), np.uint64), np.zeros(0), kb),
+        (chips.eqrows_compiled, chips.eqrows_cb, qwp,
+         np.zeros((0, qwp.shape[1]), np.uint64), np.zeros(0), kq),
         (chips.ends_compiled, chips.ends_cb, ewp,
          np.zeros((0, ewp.shape[1]), np.uint64), np.zeros(0), ke),
     ]
@@ -284,7 +286,7 @@ def test_tower_verify_chips_real_tower():
         [sets[0],
          (chips.bound_compiled, chips.bound_cb, bad,
           np.zeros((0, bwp.shape[1]), np.uint64), np.zeros(0), kb),
-         sets[2]],
+         sets[2], sets[3]],
         raise_on_error=False,
     )
     assert errs
@@ -295,7 +297,7 @@ def test_tower_verify_chips_real_tower():
     oi = chips.ends_cb.wit_names.index("po01_0")
     bad_e[oi, 0] = (int(bad_e[oi, 0]) + 1) % bb.P
     errs2 = MP.assert_satisfied(
-        [sets[0], sets[1],
+        [sets[0], sets[1], sets[2],
          (chips.ends_compiled, chips.ends_cb, bad_e,
           np.zeros((0, ewp.shape[1]), np.uint64), np.zeros(0), ke)],
         raise_on_error=False,
