@@ -133,10 +133,13 @@ def build_fs_chain_chips() -> FsChainChips:
     duplex_compiled = compile_chip(db)
 
     # -- ends -----------------------------------------------------------------
+    # s0 (FIXED) is the chain's step base: one aggregation proof carries one
+    # chain PER VERIFIED SHARD PROOF, namespaced by disjoint step ranges.
     eb = CircuitBuilder("fs_chain_ends")
     n_steps = eb.create_witin("n_steps")
+    s0 = eb.create_fixed("s0")
     fin = [eb.create_witin(f"fin{j}") for j in range(p2.WIDTH)]
-    eb.write_record(chead + [E.Const(0)] + [E.Const(0)] * p2.WIDTH)
+    eb.write_record(chead + [s0] + [E.Const(0)] * p2.WIDTH)
     eb.read_record(chead + [n_steps] + [Lin.col(w).to_expr() for w in fin])
     ends_compiled = compile_chip(eb)
 
@@ -285,14 +288,17 @@ class ChainTranscript(Transcript):
     line up with the main recording by construction). Cursors do not record
     rows — only the main pass feeds ``finalize``."""
 
-    __slots__ = ("registry", "rows", "abs_vals", "_blk", "_step", "_record")
+    __slots__ = ("registry", "rows", "abs_vals", "_blk", "_step", "_record",
+                 "step_base")
 
-    def __init__(self, label: bytes | None = None, registry=None):
+    def __init__(self, label: bytes | None = None, registry=None,
+                 step_base: int = 0):
         self.registry = registry or FsRegistry()
         self.rows = []            # (state_in16, blk8) per permutation
         self.abs_vals = {}        # abs slot idx -> value (all 8 per row)
         self._blk = np.zeros(p2.RATE, np.uint64)
-        self._step = 0
+        self._step = step_base    # chains share a bus: disjoint step ranges
+        self.step_base = step_base
         self._record = True
         super().__init__(label)
 
@@ -422,6 +428,40 @@ class ChainTranscript(Transcript):
         """Count a consumer chip's LK_AGG_CHAL lookup of ``cid``."""
         self.registry.use(cid, times)
 
+    # -- direct slot binding (single-use values) --------------------------------
+    # A consumer chip row can bind an absorbed/sampled value WITHOUT the
+    # lookup table by writing/reading the duplex slot records itself:
+    # absorbed proof data -> the row WRITES (AbsSlot, aidx+k, elem_k);
+    # a sampled challenge -> the row READS (SampleSlot, sidx+j, chal_j).
+    # These helpers perform the interaction, claim the slots (so the
+    # generic suppliers/scavenger skip them) and return the base index the
+    # chip's FIXED schedule column carries.
+
+    def append_slots(self, elems) -> int:
+        """Absorb ``elems``; the CONSUMER chip supplies the slots (claimed
+        here). Returns the base absorb-slot index (slots are consecutive)."""
+        arr = np.atleast_1d(np.asarray(elems, np.uint64)).ravel()
+        slots = self.absorb_slots_of_next(len(arr))
+        assert slots == list(range(slots[0], slots[0] + len(arr)))
+        self.append(arr)
+        for s in slots:
+            self.registry.claimed_abs.add(s)
+        return slots[0]
+
+    def sample_ext_slot(self):
+        """Sample an ext challenge whose 4 slots the CONSUMER chip reads
+        directly. Returns (sidx, (4,) value)."""
+        sidx = self._sample_slot_idx()
+        v = np.array(self.sample_ext(), np.uint64)
+        for j in range(4):
+            self.registry.claimed_samples.add(sidx + j)
+        return sidx, v
+
+    def clone(self):
+        """Stage captures inside scheme.verify take clones; for a recording
+        chain the natural clone is a registry-sharing replay cursor."""
+        return self.cursor()
+
     def claim_absorb(self, idx: int, n: int = 1) -> None:
         """A dedicated chip writes (AbsSlot, idx..idx+n): skip fs_abs rows."""
         for k in range(n):
@@ -447,11 +487,14 @@ class ChainTranscript(Transcript):
 
     # -- finalize ---------------------------------------------------------------
 
-    def finalize(self, chips: FsChainChips):
-        """Emit (name, compiled, cb, wit, fixed) for every fs-chain chip.
-        Must be called when no partial block is pending a permute that will
-        never happen — any trailing absorbed-but-unsampled elements are
-        flushed with one final permutation so the chain ends cleanly."""
+    def finalize_chain(self, chips: FsChainChips):
+        """Emit (name, compiled, cb, wit, fixed) for this CHAIN's chips
+        (duplex rows, ends, absorb suppliers, scavenger). Must be called
+        when no partial block is pending a permute that will never happen —
+        any trailing absorbed-but-unsampled elements are flushed with one
+        final permutation so the chain ends cleanly. Registry-level chips
+        (challenge/absorbed tables, pow chains — shared by every chain of
+        an aggregation) come from :func:`finalize_registry`."""
         reg = self.registry
         if np.any(self._blk) or self._absorbed:
             self._permute_now()
@@ -469,7 +512,9 @@ class ChainTranscript(Transcript):
         # adds in place): the chip's st wires are state BEFORE the block
         pre = states.copy()
         pre[:, :p2.RATE] = (pre[:, :p2.RATE] + _P - blks) % _P
-        dcols: dict = {"step": np.arange(n_rows, dtype=np.uint64)}
+        dcols: dict = {
+            "step": self.step_base + np.arange(n_rows, dtype=np.uint64)
+        }
         for j in range(p2.WIDTH):
             dcols[f"st{j}"] = pre[:, j]
         for j in range(p2.RATE):
@@ -481,11 +526,12 @@ class ChainTranscript(Transcript):
             dcols[name] = x
         dup_wit = _mat(chips.duplex_cb, dcols, n_rows)
 
-        ecols = {"n_steps": np.array([n_rows], np.uint64)}
+        ecols = {"n_steps": np.array([self.step_base + n_rows], np.uint64)}
         fin = outs[-1] if n_rows else np.zeros(p2.WIDTH, np.uint64)
         for j in range(p2.WIDTH):
             ecols[f"fin{j}"] = np.array([fin[j]], np.uint64)
         ends_wit = _mat(chips.ends_cb, ecols, 1)
+        ends_fixed = np.array([[self.step_base]], np.uint64)
 
         # absorb suppliers: every slot not claimed by a dedicated chip;
         # zero-valued ones go to the FIXED-index zero chip
@@ -502,13 +548,34 @@ class ChainTranscript(Transcript):
         all_samples = {}
         for s in range(n_rows):
             for j in range(p2.RATE):
-                all_samples[(s + 1) * 8 + j] = int(outs[s][j])
+                all_samples[(self.step_base + s + 1) * 8 + j] = int(outs[s][j])
         leftover = sorted(set(all_samples) - reg.claimed_samples)
         scav_wit = _mat(chips.scav_cb, {
             "idx": np.array(leftover, np.uint64),
             "v": np.array([all_samples[i] for i in leftover], np.uint64),
         }, len(leftover))
+        return [
+            ("fs_duplex", chips.duplex_compiled, chips.duplex_cb, dup_wit,
+             None),
+            ("fs_ends", chips.ends_compiled, chips.ends_cb, ends_wit,
+             ends_fixed),
+            ("fs_abs", chips.abs_compiled, chips.abs_cb, abs_wit, None),
+            ("fs_abs0", chips.abs0_compiled, chips.abs0_cb,
+             np.zeros((1, len(zz)), np.uint64), abs0_fixed),
+            ("fs_scav", chips.scav_compiled, chips.scav_cb, scav_wit, None),
+        ]
 
+    def finalize(self, chips: FsChainChips):
+        """Single-chain convenience: chain chips + registry chips."""
+        return self.finalize_chain(chips) + finalize_registry(
+            chips, self.registry
+        )
+
+
+def finalize_registry(chips: FsChainChips, reg: FsRegistry):
+    """Emit the registry-level chips (challenge table, absorbed-ext/base
+    tables, pow chains) — ONE set per aggregation, shared by every chain."""
+    if True:
         # challenge table
         def _table(rows):
             n_c = len(rows)
@@ -583,15 +650,6 @@ class ChainTranscript(Transcript):
 
         none_fixed = None
         return [
-            ("fs_duplex", chips.duplex_compiled, chips.duplex_cb, dup_wit,
-             none_fixed),
-            ("fs_ends", chips.ends_compiled, chips.ends_cb, ends_wit,
-             none_fixed),
-            ("fs_abs", chips.abs_compiled, chips.abs_cb, abs_wit, none_fixed),
-            ("fs_abs0", chips.abs0_compiled, chips.abs0_cb,
-             np.zeros((1, len(zz)), np.uint64), abs0_fixed),
-            ("fs_scav", chips.scav_compiled, chips.scav_cb, scav_wit,
-             none_fixed),
             ("fs_chal", chips.chal_compiled, chips.chal_cb, chal_wit,
              chal_fixed),
             ("fs_absx", chips.absx_compiled, chips.absx_cb, absx_wit,
@@ -612,3 +670,53 @@ def _mat(cb: CircuitBuilder, cols: dict, n: int) -> np.ndarray:
         assert name in cols, name
         wit[j] = np.asarray(cols[name], np.uint64) % _P
     return wit
+
+
+# ---------------------------------------------------------------------------
+# Statement binding: the chain's FIRST absorbs are the label digest (a build-
+# time constant), the shard vk digest and the shard public values — exactly
+# the aggregation proof's public values (zkvm/aggregate.py: agg pv =
+# vk.digest_elems() ++ shard pv). This one-row chip FORCES those absorb
+# slots to equal Instance() references into the aggregation pv, closing the
+# loop: a verifier of the aggregation proof that checks its public values
+# has bound the in-circuit transcript to the shard statement.
+# ---------------------------------------------------------------------------
+
+
+def build_pv_supply_chip(label: bytes, n_instance: int,
+                         inst_indices=None, step_base: int = 0):
+    """One-row chip writing (AbsSlot, slot0 + k, label_digest[k]) for the 8
+    label slots and (AbsSlot, slot0 + 8 + i, Instance(idx_i)) for the
+    ``n_instance`` statement elements absorbed right after (slots are
+    consecutive from slot0 = 8*step_base: nothing is sampled before the
+    statement absorbs finish). ``inst_indices`` maps each absorbed element
+    to its aggregation-pv slot (default: 0..n_instance-1); together with
+    ``step_base`` this places each shard's chain in a multi-shard
+    aggregation where the shared vk digest heads the pv."""
+    words = [
+        int.from_bytes(label[i:i + 4], "little") % bb.P
+        for i in range(0, len(label), 4)
+    ]
+    digest = p2.hash_elements_host(words or [0])
+    slot0 = 8 * step_base
+    if inst_indices is None:
+        inst_indices = list(range(n_instance))
+    assert len(inst_indices) == n_instance
+    cb = CircuitBuilder("fs_pv_supply")
+    d = cb.create_witin("d")  # chips need >=1 witness column; pinned zero
+    cb.require_zero("d0", d)
+    for k in range(p2.DIGEST_ELEMS):
+        cb.write_record([E.Const(RAM_CUSTOM), E.Const(TAG_ABS_SLOT),
+                         E.Const(slot0 + k), E.Const(int(digest[k]))])
+    for i in range(n_instance):
+        cb.write_record([E.Const(RAM_CUSTOM), E.Const(TAG_ABS_SLOT),
+                         E.Const(slot0 + p2.DIGEST_ELEMS + i),
+                         E.Instance(int(inst_indices[i]))])
+    return cb, compile_chip(cb)
+
+
+def assign_pv_supply(chain: "ChainTranscript", n_instance: int) -> np.ndarray:
+    """Claim the statement absorb slots (call after the main verify pass so
+    abs_vals is populated) and return the one-row witness matrix."""
+    chain.claim_absorb(8 * chain.step_base, p2.DIGEST_ELEMS + n_instance)
+    return np.zeros((1, 1), np.uint64)

@@ -50,9 +50,10 @@ class SumcheckVerifyChips:
     n_vars: int
 
 
-def build_sumcheck_verify_chips(deg: int, n_vars: int) -> SumcheckVerifyChips:
+def build_sumcheck_verify_chips(deg: int, n_vars: int,
+                                bind: bool = False) -> SumcheckVerifyChips:
     # -- per-round chip ------------------------------------------------------
-    cb = CircuitBuilder("sumcheck_verify_rounds")
+    cb = CircuitBuilder("sumcheck_verify_rounds" + ("_fs" if bind else ""))
     inst = cb.create_witin("inst")
     rnd = cb.create_witin("round")
     ys = [G.ext_witness(cb, f"y{k}") for k in range(deg + 1)]
@@ -64,6 +65,20 @@ def build_sumcheck_verify_chips(deg: int, n_vars: int) -> SumcheckVerifyChips:
     head = [E.Const(RAM_CUSTOM), E.Const(TAG_SUMCHECK_CLAIM), inst]
     cb.read_record(head + [rnd] + claim_in.c)
     cb.write_record(head + [rnd + 1] + claim_out.c)
+    if bind:
+        # global-FS-chain binding (gkr/fs_chain.py): the row SUPPLIES its
+        # round message to the duplex absorb slots (so the transcript the
+        # duplex chip proves absorbed exactly these ys) and derives alpha
+        # from the challenge lookup table.
+        from . import fs_chain as FS
+
+        aidx = cb.create_fixed("aidx")
+        acid = cb.create_fixed("acid")
+        msg_elems = [c for y in ys for c in y.c]
+        for k, mc in enumerate(msg_elems):
+            cb.write_record([E.Const(RAM_CUSTOM), E.Const(FS.TAG_ABS_SLOT),
+                             aidx + k, mc])
+        cb.lk_record(FS.LK_AGG_CHAL, [acid] + list(alpha.c))
     rounds_compiled = compile_chip(cb)
 
     # -- endpoints chip (one row per instance) -------------------------------
@@ -476,14 +491,19 @@ TAG_TOWER_CLAIM = 6
 TAG_EQ_CHAIN = 7
 
 
-def build_eq_rows_chip():
+def build_eq_rows_chip(bind: bool = False):
     """The generic eq1-chain rows chip: one row multiplies a running product
     by eq1(z, r) = 1 - z - r + 2zr (one eq factor per point coordinate),
     chained over the bus as (EqChain, cid, k, acc) -> (EqChain, cid, k+1,
     acc * eq1). Shared by the jagged-weight and tower-eq recombinations —
     any consumer starts a chain by writing (EqChain, cid, 0, 1) and reads
-    the finished product back at its chain length."""
-    cb = CircuitBuilder("eq_chain_rows")
+    the finished product back at its chain length.
+
+    ``bind``: both coordinates are looked up on the FS challenge table
+    (gkr/fs_chain.py) under FIXED cids — used by the tower chains whose z
+    (rt coords) and r (sumcheck round challenges) are all transcript
+    samples, so eq_v is fully transcript-derived."""
+    cb = CircuitBuilder("eq_chain_rows" + ("_fs" if bind else ""))
     cid = cb.create_witin("cid")
     k = cb.create_witin("k")
     z = G.ext_witness(cb, "z")
@@ -496,6 +516,13 @@ def build_eq_rows_chip():
     head = [E.Const(RAM_CUSTOM), E.Const(TAG_EQ_CHAIN), cid]
     cb.read_record(head + [k] + acc_in.c)
     cb.write_record(head + [k + 1] + acc_out.c)
+    if bind:
+        from . import fs_chain as FS
+
+        zcid = cb.create_fixed("zcid")
+        rcid = cb.create_fixed("rcid")
+        cb.lk_record(FS.LK_AGG_CHAL, [zcid] + list(z.c))
+        cb.lk_record(FS.LK_AGG_CHAL, [rcid] + list(r.c))
     return cb, compile_chip(cb)
 
 
@@ -510,10 +537,14 @@ class _EqRowsCollector:
         self.acc: list = []
         self.zr: list = []
         self.accn: list = []
+        self.zcid: list = []
+        self.rcid: list = []
 
-    def chain(self, cid: int, zs, rs):
+    def chain(self, cid: int, zs, rs, z_cids=None, r_cids=None, reg=None):
         """Walk one eq1 chain (zs, rs: (n, 4) point lists) starting from
-        acc=1; returns the final product (= eq(zs, rs))."""
+        acc=1; returns the final product (= eq(zs, rs)). With ``z_cids`` /
+        ``r_cids`` (FS binding) the per-factor challenge-table cids are
+        recorded and their lookups counted on ``reg``."""
         zs = np.asarray(zs, np.uint64)
         rs = np.asarray(rs, np.uint64)
         acc = exth.one()
@@ -524,6 +555,12 @@ class _EqRowsCollector:
             self.k.append(kk)
             self.z.append(zk)
             self.r.append(rk)
+            if z_cids is not None:
+                self.zcid.append(z_cids[kk])
+                self.rcid.append(r_cids[kk])
+                if reg is not None:
+                    reg.use(z_cids[kk])
+                    reg.use(r_cids[kk])
             self.acc.append(acc)
             zr = exth.mul(zk, rk)
             self.zr.append(zr)
@@ -547,6 +584,9 @@ class _EqRowsCollector:
             wit[j] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
         return wit
 
+    def materialize_fixed(self) -> np.ndarray:
+        return np.array([self.zcid, self.rcid], np.uint64)
+
 
 @dataclass
 class TowerVerifyChips:
@@ -565,13 +605,16 @@ class TowerVerifyChips:
 
 
 def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
-                             sc_base: int = 0) -> TowerVerifyChips:
+                             sc_base: int = 0,
+                             bind: bool = False) -> TowerVerifyChips:
     n_claims = s_p + 2 * s_l
     n_evals = 2 * s_p + 4 * s_l
-    sc = build_sumcheck_verify_chips(3, n_vars)  # rounds chip reused as-is
+    sc = build_sumcheck_verify_chips(3, n_vars, bind=bind)
+    if bind:
+        from . import fs_chain as FS
 
     # -- boundary chip (one row per (inst, level)) ---------------------------
-    cb = CircuitBuilder("tower_verify_bounds")
+    cb = CircuitBuilder("tower_verify_bounds" + ("_fs" if bind else ""))
     inst = cb.create_witin("inst")
     level = cb.create_witin("level")
     claims_in = [G.ext_witness(cb, f"cin{i}") for i in range(n_claims)]
@@ -638,16 +681,33 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
         folded.append(evals[e + 2].add(dq))
         e += 4
     cb.write_record(thead + [level + 1] + [c for w in folded for c in w.c])
+    if bind:
+        # FS binding: the boundary row supplies this level's absorbed evals
+        # to the duplex (fixed base index eidx), derives the level's alpha
+        # powers from the pow-chain lookup rows (fixed cid base alcid) and
+        # mu from the challenge table (fixed mcid).
+        b_eidx = cb.create_fixed("eidx")
+        b_alcid = cb.create_fixed("alcid")
+        b_mcid = cb.create_fixed("mcid")
+        for ei in range(n_evals):
+            for j in range(4):
+                cb.write_record([E.Const(RAM_CUSTOM), E.Const(FS.TAG_ABS_SLOT),
+                                 b_eidx + (4 * ei + j), evals[ei].c[j]])
+        for i in range(n_claims):
+            cb.lk_record(FS.LK_AGG_CHAL, [b_alcid + i] + list(alphas[i].c))
+        cb.lk_record(FS.LK_AGG_CHAL, [b_mcid] + list(mu.c))
     bound_compiled = compile_chip(cb)
 
     # -- ends chip (one row per tower instance) ------------------------------
-    eb = CircuitBuilder("tower_verify_ends")
+    eb = CircuitBuilder("tower_verify_ends" + ("_fs" if bind else ""))
     einst = eb.create_witin("inst")
     rt0 = G.ext_witness(eb, "rt0")
     init_claims = []
+    absorbed = []   # layer-1 outs in transcript absorb order
     for s in range(s_p):
         o0 = G.ext_witness(eb, f"po{s}0")
         o1 = G.ext_witness(eb, f"po{s}1")
+        absorbed += [o0, o1]
         G.ext_mul(eb, f"pv{s}", o0, o1)  # claimed total product (outer binds)
         ic = o0.add(G.ext_mul(eb, f"icp{s}", rt0, o1.sub(o0)))
         init_claims.append(ic)
@@ -656,6 +716,7 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
         p1 = G.ext_witness(eb, f"lp{s}1")
         q0 = G.ext_witness(eb, f"lq{s}0")
         q1 = G.ext_witness(eb, f"lq{s}1")
+        absorbed += [p0, p1, q0, q1]
         # claimed total fraction: num = p0*q1 + p1*q0, den = q0*q1
         G.ext_mul(eb, f"fn1_{s}", p0, q1)
         G.ext_mul(eb, f"fn2_{s}", p1, q0)
@@ -667,8 +728,18 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
     ehead = [E.Const(RAM_CUSTOM), E.Const(TAG_TOWER_CLAIM), einst]
     eb.write_record(ehead + [E.Const(1)] + [c for w in init_claims for c in w.c])
     eb.read_record(ehead + [E.Const(n_vars)] + [c for w in rc for c in w.c])
+    if bind:
+        # FS binding: the ends row supplies the absorbed layer-1 outs and
+        # derives rt0 from the challenge table.
+        e_oidx = eb.create_fixed("oidx")
+        e_rcid = eb.create_fixed("rcid")
+        for wi, w in enumerate(absorbed):
+            for j in range(4):
+                eb.write_record([E.Const(RAM_CUSTOM), E.Const(FS.TAG_ABS_SLOT),
+                                 e_oidx + (4 * wi + j), w.c[j]])
+        eb.lk_record(FS.LK_AGG_CHAL, [e_rcid] + list(rt0.c))
     ends_compiled = compile_chip(eb)
-    eq_cb, eq_compiled = build_eq_rows_chip()
+    eq_cb, eq_compiled = build_eq_rows_chip(bind=bind)
     return TowerVerifyChips(sc.rounds_cb, sc.rounds_compiled,
                             cb, bound_compiled, eb, ends_compiled,
                             eq_cb, eq_compiled,
@@ -676,7 +747,8 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
 
 
 def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
-                        transcript: Transcript, inst0: int = 0):
+                        transcript: Transcript, inst0: int = 0,
+                        fixed_out: dict | None = None):
     """Witgen by transcript replay (the witgen mirror of verify_towers).
 
     ``proofs``: list of TowerProof, all with the same n_vars and the chip's
@@ -688,16 +760,31 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     eq_v = eq(rt, point) in-circuit.
     ``inst0`` offsets the tower instance ids (and thus the TowerClaim and
     SumcheckClaim bus keys, the latter also shifted by the build-time
-    sc_base) so multiple groups share one global bus namespace."""
+    sc_base) so multiple groups share one global bus namespace.
+
+    FS binding: when ``chips`` was built with bind=True, ``transcript`` must
+    be a registry-carrying ``ChainTranscript`` cursor (gkr/fs_chain.py) —
+    every absorb is claimed for the consumer rows, every challenge is
+    registered on the challenge table / pow chains, and ``fixed_out`` (a
+    dict) receives the chips' fixed schedule matrices under keys
+    "rounds"/"bound"/"ends"/"eqrows"."""
     from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
 
     s_p, s_l, n_vars = chips.s_p, chips.s_l, chips.n_vars
     n_claims = s_p + 2 * s_l
     m = len(proofs)
     P = np.uint64(bb.P)
+    bind = "eidx" in chips.bound_cb.fixed_names
+    if bind:
+        assert hasattr(transcript, "registry"), \
+            "FS-bound tower chips need a ChainTranscript cursor"
+        reg = transcript.registry
 
     sc_rows = []          # dicts for the rounds chip
     brows: dict = {k: [] for k in ("inst", "level")}
+    bfix: dict = {k: [] for k in ("eidx", "alcid", "mcid")}
+    eq_z_cids: list = []  # per-chain z cids (rt coord registrations)
+    efix: dict = {k: [] for k in ("oidx", "rcid")}
     bext: dict = {}       # name -> list of (4,) values, boundary ext wires
     eqrows = _EqRowsCollector()
     erows: dict = {"inst": inst0 + np.arange(m, dtype=np.uint64)}
@@ -713,11 +800,20 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     for i, proof in enumerate(proofs):
         assert proof.prod_out.shape[0] == s_p
         assert proof.logup_out.shape[0] == s_l
-        for s in range(s_p):
-            transcript.append(proof.prod_out[s].ravel())
-        for s in range(s_l):
-            transcript.append(proof.logup_out[s].ravel())
-        rt = np.array([transcript.sample_ext()], np.uint64)
+        outs = np.concatenate(
+            [proof.prod_out[s].ravel() for s in range(s_p)]
+            + [proof.logup_out[s].ravel() for s in range(s_l)]
+        ) if (s_p or s_l) else np.zeros(0, np.uint64)
+        if bind:
+            efix["oidx"].append(transcript.append_slots(outs))
+            rcid0, rt0v = transcript.sample_ext_chal()
+            reg.use(rcid0)     # the ends row's rt0 lookup
+            efix["rcid"].append(rcid0)
+            rt = rt0v[None]
+            rt_cids = [rcid0]
+        else:
+            transcript.append(outs)
+            rt = np.array([transcript.sample_ext()], np.uint64)
         eput("rt0", rt[0])
         claims = []
         for s in range(s_p):
@@ -740,32 +836,62 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
             claims.extend([_fold2(p0, p1, rt[0]), _fold2(q0, q1, rt[0])])
 
         for level in range(1, n_vars):
-            alphas = transcript.sample_ext_pows(n_claims)
+            if bind:
+                alcid0, alphas = transcript.sample_ext_pows_chal(n_claims)
+                for j in range(n_claims):
+                    reg.use(alcid0 + j)   # the boundary row's alpha lookups
+            else:
+                alphas = transcript.sample_ext_pows(n_claims)
             batched = np.zeros(4, np.uint64)
             for j in range(n_claims):
                 batched = exth.add(batched, exth.mul(alphas[j], claims[j]))
             msgs = np.asarray(proof.round_msgs[level - 1], np.uint64)
-            point, final_claim = sc_verify(
-                batched, msgs, level, transcript, deg=3
-            )
-            chals = point[::-1].copy()
-            # rounds-chip rows for this level's sumcheck instance
-            cur = batched
-            for r in range(level):
-                sc_rows.append({
-                    "inst": (inst0 + i) * n_vars + level + chips.sc_base,
-                    "round": r,
-                    "ys": msgs[r], "alpha": chals[r], "claim_in": cur,
-                })
-                cur = lagrange_extrapolate(msgs[r], chals[r])
-            assert np.array_equal(cur, final_claim)
+            sc_inst = (inst0 + i) * n_vars + level + chips.sc_base
+            if bind:
+                # manual replay so each round's absorb slots + challenge cid
+                # land in the rounds chip's fixed schedule columns
+                chals = np.zeros((level, 4), np.uint64)
+                rnd_cids = []
+                cur = batched
+                for r in range(level):
+                    aidx = transcript.append_slots(msgs[r].ravel())
+                    acid, ch = transcript.sample_ext_chal()
+                    reg.use(acid)     # the rounds row's alpha lookup
+                    chals[r] = ch
+                    rnd_cids.append(acid)
+                    sc_rows.append({
+                        "inst": sc_inst, "round": r,
+                        "ys": msgs[r], "alpha": ch, "claim_in": cur,
+                        "aidx": aidx, "acid": acid,
+                    })
+                    cur = lagrange_extrapolate(msgs[r], ch)
+                point = chals[::-1].copy()
+                point_cids = rnd_cids[::-1]
+                final_claim = cur
+            else:
+                point, final_claim = sc_verify(
+                    batched, msgs, level, transcript, deg=3
+                )
+                chals = point[::-1].copy()
+                # rounds-chip rows for this level's sumcheck instance
+                cur = batched
+                for r in range(level):
+                    sc_rows.append({
+                        "inst": sc_inst,
+                        "round": r,
+                        "ys": msgs[r], "alpha": chals[r], "claim_in": cur,
+                    })
+                    cur = lagrange_extrapolate(msgs[r], chals[r])
+                assert np.array_equal(cur, final_claim)
 
             evals = np.asarray(proof.level_evals[level - 1], np.uint64)
             # eq_v is computed in-circuit by an eq1 chain of `level` rows
             # keyed on this level's sumcheck instance id
             eq_v = eqrows.chain(
-                (inst0 + i) * n_vars + level + chips.sc_base,
-                rt.astype(np.uint64), point,
+                sc_inst, rt.astype(np.uint64), point,
+                z_cids=rt_cids if bind else None,
+                r_cids=point_cids if bind else None,
+                reg=reg if bind else None,
             )
             assert np.array_equal(eq_v, exth.eq_eval(rt.astype(np.uint64), point))
             brows["inst"].append(inst0 + i)
@@ -808,8 +934,16 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
             bput("eacc", exth.mul(eq_v, acc))
             if not np.array_equal(exth.mul(eq_v, acc), final_claim):
                 raise ValueError(f"tower {i} level {level}: recombination mismatch")
-            transcript.append(evals.ravel())
-            mu = np.array(transcript.sample_ext(), np.uint64)
+            if bind:
+                bfix["eidx"].append(transcript.append_slots(evals.ravel()))
+                bfix["alcid"].append(alcid0)
+                mcid, mu = transcript.sample_ext_chal()
+                reg.use(mcid)     # the boundary row's mu lookup
+                bfix["mcid"].append(mcid)
+                rt_cids = point_cids + [mcid]
+            else:
+                transcript.append(evals.ravel())
+                mu = np.array(transcript.sample_ext(), np.uint64)
             bput("mu", mu)
             rt = np.concatenate([point, mu[None, :]], axis=0)
             new_claims = []
@@ -868,6 +1002,16 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
         assert name in ecols, name
         ends_wit[j] = np.asarray(ecols[name], np.uint64) % P
     eqrows_wit = eqrows.materialize(chips.eqrows_cb)
+    if bind and fixed_out is not None:
+        fixed_out["rounds"] = np.array(
+            [[r["aidx"] for r in sc_rows], [r["acid"] for r in sc_rows]],
+            np.uint64,
+        )
+        fixed_out["bound"] = np.array(
+            [bfix["eidx"], bfix["alcid"], bfix["mcid"]], np.uint64
+        )
+        fixed_out["ends"] = np.array([efix["oidx"], efix["rcid"]], np.uint64)
+        fixed_out["eqrows"] = eqrows.materialize_fixed()
     return rounds_wit, bound_wit, eqrows_wit, ends_wit, record_claims
 
 
@@ -927,13 +1071,14 @@ class JaggedVerifyChips:
     n_claims: int
 
 
-def build_jagged_verify_chips(log_r: int, n_claims: int) -> JaggedVerifyChips:
+def build_jagged_verify_chips(log_r: int, n_claims: int,
+                              bind: bool = False) -> JaggedVerifyChips:
     # -- eq-chain rows chip (shared shape with the tower eq chains) -----------
     cb, rows_compiled = build_eq_rows_chip()
     one = G.ExtWire.constant(exth.one())
 
     # -- per-claim chip -------------------------------------------------------
-    qb = CircuitBuilder("jagged_claims")
+    qb = CircuitBuilder("jagged_claims" + ("_fs" if bind else ""))
     jid = qb.create_witin("jid")
     t = qb.create_witin("t")
     qcid = qb.create_witin("cid")
@@ -955,6 +1100,15 @@ def build_jagged_verify_chips(log_r: int, n_claims: int) -> JaggedVerifyChips:
     bhead = [E.Const(RAM_CUSTOM), E.Const(TAG_B_SUM), jid]
     qb.read_record(bhead + [t] + b_in.c)
     qb.write_record(bhead + [t + 1] + b_in.add(bterm).c)
+    if bind:
+        # FS binding: gamma is a pow-chain power, the V_c(r) eval is an
+        # absorbed-ext table row — both on the challenge lookup table
+        from . import fs_chain as FS
+
+        q_gcid = qb.create_fixed("gcid")
+        q_vcid = qb.create_fixed("vcid")
+        qb.lk_record(FS.LK_AGG_CHAL, [q_gcid] + list(gamma.c))
+        qb.lk_record(FS.LK_AGG_CHAL, [q_vcid] + list(v_eval.c))
     claims_compiled = compile_chip(qb)
 
     # -- final chip (one row per jagged opening) ------------------------------
@@ -981,29 +1135,38 @@ def build_jagged_verify_chips(log_r: int, n_claims: int) -> JaggedVerifyChips:
 
 def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
                          proof, transcript: Transcript, jid: int = 0,
-                         cid_base: int = 0):
+                         cid_base: int = 0, fixed_out: dict | None = None):
     """Witgen mirror of verify_jagged's recombination (+ the translation
     sumcheck's rounds-chip rows). ``transcript`` must sit where the jagged
     verifier's would. Returns (rows_wit, claims_wit, final_wit, sc_cols) —
     sc_cols is the column dict for the deg-2 sumcheck ROUNDS chip
     (build_sumcheck_verify_chips(2, ...).rounds_cb names). ``cid_base``
     offsets the EqChain cids (claim t -> cid_base + t) so jagged chains
-    share the global bus namespace with the tower eq chains."""
+    share the global bus namespace with the tower eq chains.
+
+    FS binding (chips built with bind=True; ChainTranscript cursor):
+    gammas ride a pow chain, V_c(r) evals become absorbed-ext table rows
+    the claim rows look up, the translation sumcheck is slot-bound
+    (sc_cols gains "aidx"/"acid"), and ``fixed_out`` receives the claim
+    chip's fixed matrix under "claims"."""
     from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
 
     log_r = chips.log_r
     n_claims = chips.n_claims
     assert len(claims) == n_claims
     P = np.uint64(bb.P)
-    gammas = transcript.sample_ext_pows(n_claims)
+    bind = "gcid" in chips.claims_cb.fixed_names
+    if bind:
+        assert hasattr(transcript, "registry"), \
+            "FS-bound jagged chips need a ChainTranscript cursor"
+        reg = transcript.registry
+        gcid0, gammas = transcript.sample_ext_pows_chal(n_claims)
+    else:
+        gammas = transcript.sample_ext_pows(n_claims)
     btotal = np.zeros(4, np.uint64)
     for tt, cl in enumerate(claims):
         btotal = exth.add(btotal, exth.mul(gammas[tt], np.asarray(cl.value, np.uint64)))
     msgs = np.asarray(proof.trans_msgs, np.uint64)
-    point, final_claim = sc_verify(btotal, msgs, log_r, transcript, deg=2)
-    chals = point[::-1].copy()
-    v_evals = np.asarray(proof.v_evals, np.uint64)
-    transcript.append(v_evals.ravel())
 
     # sumcheck rounds rows (deg-2 chip: sc instance id == jid)
     sc_rows: dict = {
@@ -1012,10 +1175,35 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
     }
     cur = btotal
     cins = np.zeros((log_r, 4), np.uint64)
-    for rr in range(log_r):
-        cins[rr] = cur
-        cur = lagrange_extrapolate(msgs[rr], chals[rr])
-    assert np.array_equal(cur, final_claim)
+    if bind:
+        chals = np.zeros((log_r, 4), np.uint64)
+        aidxs = np.zeros(log_r, np.uint64)
+        acids = np.zeros(log_r, np.uint64)
+        for rr in range(log_r):
+            cins[rr] = cur
+            aidxs[rr] = transcript.append_slots(msgs[rr].ravel())
+            acid, ch = transcript.sample_ext_chal()
+            reg.use(acid)
+            acids[rr] = acid
+            chals[rr] = ch
+            cur = lagrange_extrapolate(msgs[rr], ch)
+        point = chals[::-1].copy()
+        final_claim = cur
+        sc_rows["aidx"] = aidxs
+        sc_rows["acid"] = acids
+        v_evals = np.asarray(proof.v_evals, np.uint64)
+        vcids = [transcript.append_ext_chal(v_evals[c])
+                 for c in range(v_evals.shape[0])]
+    else:
+        point, final_claim = sc_verify(btotal, msgs, log_r, transcript,
+                                       deg=2)
+        chals = point[::-1].copy()
+        v_evals = np.asarray(proof.v_evals, np.uint64)
+        transcript.append(v_evals.ravel())
+        for rr in range(log_r):
+            cins[rr] = cur
+            cur = lagrange_extrapolate(msgs[rr], chals[rr])
+        assert np.array_equal(cur, final_claim)
     for kk in range(3):
         G.assign_ext(sc_rows, f"y{kk}", msgs[:, kk])
     G.assign_ext(sc_rows, "alpha", chals)
@@ -1081,6 +1269,18 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
         b = exth.add(b, bterms[tt])
     if not np.array_equal(s, final_claim):
         raise ValueError("jagged recombination mismatch in witgen")
+    if bind:
+        claim_gcids = []
+        claim_vcids = []
+        for tt, cl in enumerate(claims):
+            claim_gcids.append(gcid0 + tt)
+            reg.use(gcid0 + tt)
+            vcid = vcids[layout.slices[cl.slice_idx].mat_col]
+            claim_vcids.append(vcid)
+            reg.use(vcid)
+        if fixed_out is not None:
+            fixed_out["claims"] = np.array([claim_gcids, claim_vcids],
+                                           np.uint64)
     qcols: dict = {
         "jid": np.full(n_claims, jid, np.uint64),
         "t": np.arange(n_claims, dtype=np.uint64),
@@ -1168,9 +1368,11 @@ class ClassMainVerifyChips:
     final_compiled: object
 
 
-def build_class_main_verify_chips() -> ClassMainVerifyChips:
+def build_class_main_verify_chips(bind: bool = False) -> ClassMainVerifyChips:
+    if bind:
+        from . import fs_chain as FS
     # -- term product rows ----------------------------------------------------
-    pb = CircuitBuilder("cm_term_rows")
+    pb = CircuitBuilder("cm_term_rows" + ("_fs" if bind else ""))
     tid = pb.create_witin("tid")
     step = pb.create_witin("step")
     c = G.ext_witness(pb, "c")
@@ -1179,10 +1381,15 @@ def build_class_main_verify_chips() -> ClassMainVerifyChips:
     head = [E.Const(RAM_CUSTOM), E.Const(TAG_TERM_CHAIN), tid]
     pb.read_record(head + [step] + p.c)
     pb.write_record(head + [step + 1] + pc.c)
+    if bind:
+        # the column eval this step multiplies by is an absorbed proof
+        # element: bound against the absorbed-ext table (fs_absx) rows
+        p_ccid = pb.create_fixed("ccid")
+        pb.lk_record(FS.LK_AGG_CHAL, [p_ccid] + list(c.c))
     prod_compiled = compile_chip(pb)
 
     # -- per-term chip ---------------------------------------------------------
-    tb = CircuitBuilder("cm_terms")
+    tb = CircuitBuilder("cm_terms" + ("_fs" if bind else ""))
     ttid = tb.create_witin("tid")
     sid = tb.create_witin("sid")
     j = tb.create_witin("j")
@@ -1199,7 +1406,7 @@ def build_class_main_verify_chips() -> ClassMainVerifyChips:
     term_compiled = compile_chip(tb)
 
     # -- per-slot chip ---------------------------------------------------------
-    sb = CircuitBuilder("cm_slots")
+    sb = CircuitBuilder("cm_slots" + ("_fs" if bind else ""))
     ssid = sb.create_witin("sid")
     cidx = sb.create_witin("cidx")
     si = sb.create_witin("si")
@@ -1218,7 +1425,7 @@ def build_class_main_verify_chips() -> ClassMainVerifyChips:
     slot_compiled = compile_chip(sb)
 
     # -- per-chip chip ---------------------------------------------------------
-    hb = CircuitBuilder("cm_chips")
+    hb = CircuitBuilder("cm_chips" + ("_fs" if bind else ""))
     hcidx = hb.create_witin("cidx")
     hidx = hb.create_witin("h")
     i_in = hb.create_witin("i")
@@ -1241,10 +1448,14 @@ def build_class_main_verify_chips() -> ClassMainVerifyChips:
     bshead = [E.Const(RAM_CUSTOM), E.Const(TAG_CLASS_BATCH), hidx]
     hb.read_record(bshead + [i_in] + b_in.c)
     hb.write_record(bshead + [i_in + 1] + b_in.add(gb).c)
+    if bind:
+        # gamma is a pow-chain power: bound on the challenge table
+        h_gcid = hb.create_fixed("gcid")
+        hb.lk_record(FS.LK_AGG_CHAL, [h_gcid] + list(gamma.c))
     chip_compiled = compile_chip(hb)
 
     # -- class-final chip -------------------------------------------------------
-    fb = CircuitBuilder("cm_final")
+    fb = CircuitBuilder("cm_final" + ("_fs" if bind else ""))
     fh = fb.create_witin("h")
     nchips = fb.create_witin("nchips")
     nv = fb.create_witin("nv")
@@ -1271,36 +1482,40 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
                              class_proof, instances: np.ndarray,
                              challenges: np.ndarray, transcript: Transcript,
                              class_id: int = 0,
-                             tid0: int = 0, sid0: int = 0, cidx0: int = 0):
+                             tid0: int = 0, sid0: int = 0, cidx0: int = 0,
+                             fixed_out: dict | None = None):
     """Witgen mirror of verify_class_main for ONE height class. ``transcript``
     must sit where the class-main verifier's would (samples gammas, replays
     the class sumcheck, absorbs the evals). Global chain ids start at
     tid0/sid0/cidx0 so multiple classes share the generic chips. Returns
     (prod_wit, term_wit, slot_wit, chip_wit, final_wit, sc_cols, deg) where
     sc_cols feeds build_sumcheck_verify_chips(deg, ...).rounds_cb and the
-    sumcheck instance id is ``class_id``."""
+    sumcheck instance id is ``class_id``.
+
+    FS binding (chips built with bind=True; ``transcript`` must be a
+    ChainTranscript cursor): gammas ride a pow chain, the class sumcheck's
+    messages/challenges are slot-bound (sc_cols gains "aidx"/"acid" fixed
+    schedule arrays), the absorbed column evals become absorbed-ext table
+    rows the prod rows look up, and ``fixed_out`` receives the fixed
+    matrices under "prod"/"chips"."""
     from .chip import _col_index, sel_eq_eval
     from ..sumcheck.verifier import lagrange_extrapolate, verify as sc_verify
 
     P = np.uint64(bb.P)
     n_vars = vctxs[0].n_vars
-    gammas = transcript.sample_ext_pows(len(vctxs))
+    bind = "gcid" in chips.chip_cb.fixed_names
+    if bind:
+        assert hasattr(transcript, "registry"), \
+            "FS-bound class-main chips need a ChainTranscript cursor"
+        reg = transcript.registry
+        gcid0, gammas = transcript.sample_ext_pows_chal(len(vctxs))
+    else:
+        gammas = transcript.sample_ext_pows(len(vctxs))
     combined = np.zeros(4, np.uint64)
     for g, v in zip(gammas, vctxs):
         combined = exth.add(combined, exth.mul(g, v.batched_claim))
     deg = max(v.main_deg for v in vctxs)
     msgs = np.asarray(class_proof.main_msgs, np.uint64)
-    point, final_claim = sc_verify(combined, msgs, n_vars, transcript, deg=deg)
-    chals = point[::-1].copy()
-    flat = []
-    for i, v in enumerate(vctxs):
-        flat += [np.asarray(class_proof.wit_evals[i], np.uint64),
-                 np.asarray(class_proof.fixed_evals[i], np.uint64),
-                 np.asarray(class_proof.structural_evals[i], np.uint64)]
-    transcript.append(
-        np.concatenate([x.reshape(-1) for x in flat])
-        if flat else np.zeros(0, np.uint64)
-    )
 
     # sumcheck rounds rows (instance id = class_id)
     sc_cols: dict = {
@@ -1309,10 +1524,51 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
     }
     cur = combined
     cins = np.zeros((n_vars, 4), np.uint64)
-    for rr in range(n_vars):
-        cins[rr] = cur
-        cur = lagrange_extrapolate(msgs[rr], chals[rr])
-    assert np.array_equal(cur, final_claim)
+    chals = np.zeros((n_vars, 4), np.uint64)
+    if bind:
+        aidxs = np.zeros(n_vars, np.uint64)
+        acids = np.zeros(n_vars, np.uint64)
+        for rr in range(n_vars):
+            cins[rr] = cur
+            aidxs[rr] = transcript.append_slots(msgs[rr].ravel())
+            acid, ch = transcript.sample_ext_chal()
+            reg.use(acid)
+            acids[rr] = acid
+            chals[rr] = ch
+            cur = lagrange_extrapolate(msgs[rr], ch)
+        point = chals[::-1].copy()
+        final_claim = cur
+        sc_cols["aidx"] = aidxs
+        sc_cols["acid"] = acids
+    else:
+        point, final_claim = sc_verify(combined, msgs, n_vars, transcript,
+                                       deg=deg)
+        chals = point[::-1].copy()
+        for rr in range(n_vars):
+            cins[rr] = cur
+            cur = lagrange_extrapolate(msgs[rr], chals[rr])
+        assert np.array_equal(cur, final_claim)
+    cidmaps = []
+    if bind:
+        # absorbed column evals -> absorbed-ext table rows (one per ext)
+        for i, v in enumerate(vctxs):
+            cids_i = []
+            for arr in (class_proof.wit_evals[i], class_proof.fixed_evals[i],
+                        class_proof.structural_evals[i]):
+                a = np.asarray(arr, np.uint64)
+                for row in range(a.shape[0]):
+                    cids_i.append(transcript.append_ext_chal(a[row]))
+            cidmaps.append(cids_i)
+    else:
+        flat = []
+        for i, v in enumerate(vctxs):
+            flat += [np.asarray(class_proof.wit_evals[i], np.uint64),
+                     np.asarray(class_proof.fixed_evals[i], np.uint64),
+                     np.asarray(class_proof.structural_evals[i], np.uint64)]
+        transcript.append(
+            np.concatenate([x.reshape(-1) for x in flat])
+            if flat else np.zeros(0, np.uint64)
+        )
     for kk in range(deg + 1):
         G.assign_ext(sc_cols, f"y{kk}", msgs[:, kk])
     G.assign_ext(sc_cols, "alpha", chals)
@@ -1332,6 +1588,8 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
     cidx = cidx0
     total = np.zeros(4, np.uint64)
     btotal = np.zeros(4, np.uint64)
+    prod_ccids: list = []
+    chip_gcids: list = []
     for i, v in enumerate(vctxs):
         compiled = v.compiled
         we = np.asarray(class_proof.wit_evals[i], np.uint64)
@@ -1348,8 +1606,11 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
                 sc_val = E.eval_scalar(tm.scalar, challenges, instances)
                 p_run = sc_val
                 for st, cref in enumerate(tm.cols):
-                    cv = col_evals[_col_index(cref, compiled.n_wit,
-                                              compiled.n_fixed)]
+                    col_i = _col_index(cref, compiled.n_wit, compiled.n_fixed)
+                    cv = col_evals[col_i]
+                    if bind:
+                        prod_ccids.append(cidmaps[i][col_i])
+                        reg.use(cidmaps[i][col_i])
                     prod_rows["tid"].append(tid)
                     prod_rows["step"].append(st)
                     prod_rows["c"].append(cv)
@@ -1380,6 +1641,9 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
         ga_ = exth.mul(gammas[i], s_eq)
         gacc_ = exth.mul(ga_, acc)
         gb_ = exth.mul(gammas[i], np.asarray(v.batched_claim, np.uint64))
+        if bind:
+            chip_gcids.append(gcid0 + i)
+            reg.use(gcid0 + i)
         chip_rows["cidx"].append(cidx)
         chip_rows["h"].append(class_id)
         chip_rows["i"].append(i)
@@ -1431,4 +1695,7 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
     final_wit = np.zeros((len(chips.final_cb.wit_names), 1), np.uint64)
     for jj, name in enumerate(chips.final_cb.wit_names):
         final_wit[jj] = np.asarray(fcols[name], np.uint64) % P
+    if bind and fixed_out is not None:
+        fixed_out["prod"] = np.array([prod_ccids], np.uint64)
+        fixed_out["chips"] = np.array([chip_gcids], np.uint64)
     return prod_wit, term_wit, slot_wit, chip_wit, final_wit, sc_cols, deg

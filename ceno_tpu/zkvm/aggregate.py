@@ -37,6 +37,10 @@ from ..hash.transcript import Transcript
 from ..pcs import basefold, jagged
 from ..gkr import recursion as R
 from . import scheme
+from .layout import (
+    N_PUBLIC_VALUES as N_PV, PV_SHARD_ID, PV_RW_SUM_IN, PV_RW_SUM_OUT,
+    PV_HEAP_WORDS, PV_STACK_WORDS, PV_INFO_WORDS,
+)
 
 SC_STRIDE = 4096            # per-tower-group SumcheckClaim id block
 CLASS_SC_BASE = 1 << 24     # class-main SumcheckClaim ids start here
@@ -46,68 +50,191 @@ CLASS_SC_BASE = 1 << 24     # class-main SumcheckClaim ids start here
 LABEL_AGG = scheme.LABEL + b"/agg-v1"
 
 
-def build_aggregation_witness(vk, proof, **verify_kwargs):
-    """Verify ``proof`` (raising on any failure) and return the in-circuit
-    verification witness: a list of (name, compiled, cb, wit) chip sets,
-    bus-balanced as a whole, plus a summary dict."""
-    cap: dict = {}
-    scheme.verify(vk, proof, capture=cap, **verify_kwargs)
+# Multi-shard chain placement: each verified proof's transcript chain gets a
+# disjoint duplex-step range (slot keys = 8*step stay < P for <= 64 shards).
+STEP_STRIDE = 1 << 22
+# Jagged-stage bus namespaces (ids must clear the tower/class blocks)
+JAG_SC_BASE = 1 << 26      # SumcheckClaim id of opening o = JAG_SC_BASE + o
+JAG_EQ_BASE = 1 << 26      # EqChain cids: JAG_EQ_BASE + o*JAG_EQ_STRIDE + t
+JAG_EQ_STRIDE = 1 << 16
 
-    sets = []
+
+def build_aggregation_witness(vk, proof, fs: bool = False, **verify_kwargs):
+    """Verify ``proof`` (raising on any failure) and return the in-circuit
+    verification witness, bus-balanced as a whole, plus a summary dict.
+
+    ``fs=False``: a list of (name, compiled, cb, wit) chip sets where the
+    stage challenges are free witness wires the outer statement binds.
+
+    ``fs=True`` (the full Fiat-Shamir-bound aggregation): the verify runs on
+    a recording ``ChainTranscript`` (gkr/fs_chain.py), the returned sets are
+    (name, compiled, cb, wit, fixed|None) and additionally contain the
+    fs-chain chips — the WHOLE transcript (every Poseidon2 permutation) is
+    proven in-circuit, every stage challenge is derived from it (challenge-
+    table / pow-chain lookups under committed fixed cids), every stage
+    absorb the mirrored stages perform is supplied by the consuming rows,
+    and the chain's leading absorbs are pinned to the aggregation public
+    values (vk digest ++ shard pv) by the pv-supply chip."""
+    return build_aggregation_witness_multi(vk, [(proof, verify_kwargs)],
+                                           fs=fs)
+
+
+def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
+                                    verify_fn=None, label: bytes | None = None,
+                                    digest_len: int | None = None):
+    """Multi-proof aggregation witness: verify EVERY (proof, verify_kwargs)
+    in ``proof_specs`` and emit one bus-balanced chip-set list covering all
+    of them. Same-shape chip families (sumcheck rounds per degree, eq1
+    chains, the class-main chains, the fs-chain chips) are merged across
+    proofs; tower-group chips stay per (proof, group). Bus namespaces:
+    proof p's tower group g gets global group index G (sequential), its
+    chain (fs) lives at duplex steps [p*STEP_STRIDE, ...).
+
+    ``verify_fn(proof, capture, transcript, **kwargs)`` overrides the
+    default shard verifier (scheme.verify against ``vk``) — with
+    ``label``/``digest_len`` matching the override's transcript label and
+    statement-digest length, an AGGREGATION proof itself verifies through
+    here (verify_chipset hooks), closing the pairwise aggregation tree."""
+    from ..gkr import fs_chain as FS
+
+    if verify_fn is None:
+        def verify_fn(proof, cap, transcript, **kwargs):
+            return scheme.verify(vk, proof, capture=cap,
+                                 transcript=transcript, **kwargs)
+    if label is None:
+        label = scheme.LABEL
+    if digest_len is None:
+        digest_len = len(vk.digest_elems())
+
+    caps = []
+    chains = []
+    shared_reg = FS.FsRegistry() if fs else None
+    for p, (proof, verify_kwargs) in enumerate(proof_specs):
+        cap: dict = {}
+        if fs:
+            chain = FS.ChainTranscript(label, registry=shared_reg,
+                                       step_base=p * STEP_STRIDE)
+            verify_fn(proof, cap, chain, **verify_kwargs)
+            # global RLC challenges alpha/beta: registered on the challenge
+            # table (consumers bind progressively as stages are wired)
+            pre = cap["pre_challenges"]
+            pre.sample_ext_chal()
+            pre.sample_ext_chal()
+            chains.append(chain)
+        else:
+            verify_fn(proof, cap, None, **verify_kwargs)
+        caps.append(cap)
+
+    sets = []                  # (name, compiled, cb, wit[, fixed])
     rounds_by_deg: dict = {}   # deg -> [wit matrices to concat]
+    rounds_fixed_by_deg: dict = {}
     rounds_cb_by_deg: dict = {}
     eqrows_wits: list = []     # eq1-chain rows, merged into one chip set
+    eqrows_fixed: list = []
     eqrows_chip = None
+    jag_eq_wits: list = []     # jagged eq1 chains (unbound z), merged
+    jag_eq_chip = None
+    jag_global = 0
+
+    def emit(name, compiled, cb, wit, fixed=None):
+        if fs:
+            sets.append((name, compiled, cb, wit, fixed))
+        else:
+            sets.append((name, compiled, cb, wit))
 
     def add_rounds(deg, cols, n_rows):
         sc = rounds_cb_by_deg.get(deg)
         if sc is None:
-            sc = R.build_sumcheck_verify_chips(deg, 1)
+            sc = R.build_sumcheck_verify_chips(deg, 1, bind=fs)
             rounds_cb_by_deg[deg] = sc
         wit = np.zeros((len(sc.rounds_cb.wit_names), n_rows), np.uint64)
         for j, name in enumerate(sc.rounds_cb.wit_names):
             wit[j] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
         rounds_by_deg.setdefault(deg, []).append(wit)
+        if fs:
+            rounds_fixed_by_deg.setdefault(deg, []).append(np.array(
+                [cols["aidx"], cols["acid"]], np.uint64))
 
-    # -- tower groups ---------------------------------------------------------
-    for g, (n_t, entries, tproof, tstate) in enumerate(cap.get("towers", [])):
-        rho = chiplib.interleave_geometry(entries[0][0])[0]
-        n_tv = entries[0][2] + rho
-        s_p = tproof.prod_out.shape[0]
-        s_l = tproof.logup_out.shape[0]
-        sc_base = g * SC_STRIDE - g * n_tv  # ids = g*SC_STRIDE + level
-        chips = R.build_tower_verify_chips(s_p, s_l, n_tv, sc_base=sc_base)
-        rw, bw, qw, ew, _rc = R.assign_tower_verify(chips, [tproof], tstate,
-                                                    inst0=g)
-        if rw.shape[1]:
-            sc_cols = {name: rw[j] for j, name in
-                       enumerate(chips.rounds_cb.wit_names)}
-            add_rounds(3, sc_cols, rw.shape[1])
-        if bw.shape[1]:
-            sets.append((f"tower_g{g}_bounds", chips.bound_compiled,
-                         chips.bound_cb, bw))
-        if qw.shape[1]:
-            eqrows_wits.append(qw)
-            eqrows_chip = (chips.eqrows_compiled, chips.eqrows_cb)
-        sets.append((f"tower_g{g}_ends", chips.ends_compiled,
-                     chips.ends_cb, ew))
-
-    # -- class mains ----------------------------------------------------------
-    cm = R.build_class_main_verify_chips()
+    # -- tower groups (global group index across proofs) -----------------------
+    cm = R.build_class_main_verify_chips(bind=fs)
     cm_wits = {k: [] for k in ("prod", "term", "slot", "chip", "final")}
+    cm_fixed = {"prod": [], "chip": []}
     tid = sid = cidx = 0
-    for j, (h, vctxs, cproof, tstate) in enumerate(cap.get("class_main", [])):
-        pw, tw, sw, cw, fw, sc_cols, deg = R.assign_class_main_verify(
-            cm, vctxs, cproof, cap["pv"], cap["challenges"], tstate,
-            class_id=CLASS_SC_BASE + j, tid0=tid, sid0=sid, cidx0=cidx,
-        )
-        tid += tw.shape[1]
-        sid += sw.shape[1]
-        cidx += cw.shape[1]
-        for key, w in (("prod", pw), ("term", tw), ("slot", sw),
-                       ("chip", cw), ("final", fw)):
-            cm_wits[key].append(w)
-        add_rounds(deg, sc_cols, vctxs[0].n_vars)
+    g_global = 0
+    class_global = 0
+    for p, cap in enumerate(caps):
+        for (n_t, entries, tproof, tstate) in cap.get("towers", []):
+            g = g_global
+            g_global += 1
+            rho = chiplib.interleave_geometry(entries[0][0])[0]
+            n_tv = entries[0][2] + rho
+            s_p = tproof.prod_out.shape[0]
+            s_l = tproof.logup_out.shape[0]
+            sc_base = g * SC_STRIDE - g * n_tv  # ids = g*SC_STRIDE + level
+            chips = R.build_tower_verify_chips(s_p, s_l, n_tv,
+                                               sc_base=sc_base, bind=fs)
+            fx: dict = {}
+            rw, bw, qw, ew, _rc = R.assign_tower_verify(
+                chips, [tproof], tstate, inst0=g, fixed_out=fx)
+            if rw.shape[1]:
+                sc_cols = {name: rw[j] for j, name in
+                           enumerate(chips.rounds_cb.wit_names)}
+                if fs:
+                    sc_cols["aidx"] = fx["rounds"][0]
+                    sc_cols["acid"] = fx["rounds"][1]
+                add_rounds(3, sc_cols, rw.shape[1])
+            if bw.shape[1]:
+                emit(f"tower_g{g}_bounds", chips.bound_compiled,
+                     chips.bound_cb, bw, fx.get("bound"))
+            if qw.shape[1]:
+                eqrows_wits.append(qw)
+                if fs:
+                    eqrows_fixed.append(fx["eqrows"])
+                eqrows_chip = (chips.eqrows_compiled, chips.eqrows_cb)
+            emit(f"tower_g{g}_ends", chips.ends_compiled,
+                 chips.ends_cb, ew, fx.get("ends"))
+
+        # -- class mains (global class index; shared chain chips) --------------
+        for (h, vctxs, cproof, tstate) in cap.get("class_main", []):
+            j = class_global
+            class_global += 1
+            fx = {}
+            pw, tw, sw, cw, fw, sc_cols, deg = R.assign_class_main_verify(
+                cm, vctxs, cproof, cap["pv"], cap["challenges"], tstate,
+                class_id=CLASS_SC_BASE + j, tid0=tid, sid0=sid, cidx0=cidx,
+                fixed_out=fx,
+            )
+            tid += tw.shape[1]
+            sid += sw.shape[1]
+            cidx += cw.shape[1]
+            for key, w in (("prod", pw), ("term", tw), ("slot", sw),
+                           ("chip", cw), ("final", fw)):
+                cm_wits[key].append(w)
+            if fs:
+                cm_fixed["prod"].append(fx["prod"])
+                cm_fixed["chip"].append(fx["chips"])
+            add_rounds(deg, sc_cols, vctxs[0].n_vars)
+
+        # -- jagged translation stages (one per opening, in verify order) -------
+        for (jl, jclaims, jopening, tstate) in cap.get("jagged", []):
+            jid = JAG_SC_BASE + jag_global
+            cidb = JAG_EQ_BASE + jag_global * JAG_EQ_STRIDE
+            log_r = jl.n_r.bit_length() - 1
+            jchips = R.build_jagged_verify_chips(log_r, len(jclaims),
+                                                 bind=fs)
+            fx = {}
+            rows_w, claims_w, final_w, sc_cols = R.assign_jagged_verify(
+                jchips, jl, jclaims, jopening, tstate,
+                jid=jid, cid_base=cidb, fixed_out=fx,
+            )
+            jag_eq_wits.append(rows_w)
+            jag_eq_chip = (jchips.rows_compiled, jchips.rows_cb)
+            emit(f"jag_{jag_global}_claims", jchips.claims_compiled,
+                 jchips.claims_cb, claims_w, fx.get("claims"))
+            emit(f"jag_{jag_global}_final", jchips.final_compiled,
+                 jchips.final_cb, final_w)
+            add_rounds(2, sc_cols, log_r)
+            jag_global += 1
     for key, cbn, compiled in (
         ("prod", cm.prod_cb, cm.prod_compiled),
         ("term", cm.term_cb, cm.term_compiled),
@@ -118,24 +245,68 @@ def build_aggregation_witness(vk, proof, **verify_kwargs):
         if cm_wits[key]:
             wit = np.concatenate(cm_wits[key], axis=1)
             if wit.shape[1]:
-                sets.append((f"cm_{key}", compiled, cbn, wit))
+                fixed = None
+                if fs and key in cm_fixed:
+                    fixed = np.concatenate(cm_fixed[key], axis=1)
+                emit(f"cm_{key}", compiled, cbn, wit, fixed)
 
-    # -- merged eq1-chain rows chip -------------------------------------------
+    # -- merged eq1-chain rows chips ------------------------------------------
     if eqrows_wits:
-        sets.append(("eq_rows", eqrows_chip[0], eqrows_chip[1],
-                     np.concatenate(eqrows_wits, axis=1)))
+        emit("eq_rows", eqrows_chip[0], eqrows_chip[1],
+             np.concatenate(eqrows_wits, axis=1),
+             np.concatenate(eqrows_fixed, axis=1) if fs else None)
+    if jag_eq_wits:
+        emit("jag_eq_rows", jag_eq_chip[0], jag_eq_chip[1],
+             np.concatenate(jag_eq_wits, axis=1))
 
     # -- merged sumcheck rounds chips (one per degree) --------------------------
     for deg, wits in sorted(rounds_by_deg.items()):
         sc = rounds_cb_by_deg[deg]
-        sets.append((f"sc_rounds_d{deg}", sc.rounds_compiled,
-                     sc.rounds_cb, np.concatenate(wits, axis=1)))
+        emit(f"sc_rounds_d{deg}", sc.rounds_compiled,
+             sc.rounds_cb, np.concatenate(wits, axis=1),
+             np.concatenate(rounds_fixed_by_deg[deg], axis=1) if fs else None)
+
+    # -- the fs-chain chips: duplex rows, suppliers, challenge tables, pows ----
+    if fs:
+        n_digest = digest_len
+        n_pv = len(caps[0]["pv"])
+        if any(len(c["pv"]) != n_pv for c in caps):
+            raise AggError("aggregated proofs must share a pv length")
+        fs_chips = FS.build_fs_chain_chips()
+        chain_sets: dict = {}    # name -> ([wit], [fixed])
+        for p, chain in enumerate(chains):
+            pv_indices = (list(range(n_digest))
+                          + list(range(n_digest + p * n_pv,
+                                       n_digest + (p + 1) * n_pv)))
+            # the chip absorbs digest then pv: indices relative to agg pv
+            pv_cb, pv_compiled = FS.build_pv_supply_chip(
+                label, n_digest + n_pv,
+                inst_indices=pv_indices, step_base=chain.step_base,
+            )
+            pv_wit = FS.assign_pv_supply(chain, n_digest + n_pv)
+            name = "fs_pv" if len(chains) == 1 else f"fs_pv_s{p}"
+            sets.append((name, pv_compiled, pv_cb, pv_wit, None))
+            for name, compiled, cb, wit, fixed in chain.finalize_chain(
+                    fs_chips):
+                w, f = chain_sets.setdefault(name, ([], [], compiled, cb))[:2]
+                w.append(wit)
+                f.append(fixed)
+        for name, (wits, fixeds, compiled, cb) in chain_sets.items():
+            wit = np.concatenate(wits, axis=1)
+            fixed = (np.concatenate(fixeds, axis=1)
+                     if fixeds[0] is not None else None)
+            sets.append((name, compiled, cb, wit, fixed))
+        for name, compiled, cb, wit, fixed in FS.finalize_registry(
+                fs_chips, shared_reg):
+            sets.append((name, compiled, cb, wit, fixed))
 
     summary = {
-        "tower_groups": len(cap.get("towers", [])),
-        "classes": len(cap.get("class_main", [])),
+        "proofs": len(proof_specs),
+        "tower_groups": g_global,
+        "classes": class_global,
+        "jagged_openings": jag_global,
         "chip_sets": len(sets),
-        "rows": int(sum(w.shape[1] for _, _, _, w in sets)),
+        "rows": int(sum(s[3].shape[1] for s in sets)),
     }
     return sets, summary
 
@@ -163,22 +334,42 @@ class AggChip:
     cb: object
     wit: np.ndarray        # (n_wit, N) canonical, padded pow2
     num_instances: int
+    fixed: np.ndarray | None = None   # (n_fixed, N) canonical schedule cols
 
     @property
     def n_rows(self) -> int:
         return self.wit.shape[1]
 
+    def fixed_mat(self) -> np.ndarray:
+        if self.fixed is None:
+            return np.zeros((0, self.n_rows), np.uint64)
+        f = np.asarray(self.fixed, np.uint64)
+        if f.shape[1] < self.n_rows:
+            f = np.pad(f, ((0, 0), (0, self.n_rows - f.shape[1])))
+        return f
+
 
 @dataclass
 class AggKey:
-    chips: list            # [(name, compiled, cb)] in canonical set order
+    chips: list            # [(name, compiled, cb, fixed|None)] in set order
     params: object         # BasefoldParams
 
     def digest_elems(self) -> np.ndarray:
+        import hashlib
+
         parts = [np.uint64(len(self.chips))]
-        for name, compiled, cb in self.chips:
+        h = hashlib.sha256()
+        for name, compiled, cb, fixed in self.chips:
             parts.append(np.uint64(compiled.n_wit))
             parts.append(np.uint64(len(compiled.slots)))
+            h.update(name.encode())
+            if fixed is not None:
+                # the fixed schedule columns are key material: commit them
+                h.update(np.ascontiguousarray(fixed, np.uint64).tobytes())
+        d = h.digest()
+        parts.extend(
+            np.frombuffer(d, np.uint32).astype(np.uint64) % np.uint64(bb.P)
+        )
         return np.array(parts, np.uint64)
 
 
@@ -235,7 +426,7 @@ def prove_chipset(chips: list, public_values: np.ndarray, params) -> AggProof:
     zkVM-specific stages removed."""
     t = Transcript(LABEL_AGG)
     pv = np.asarray(public_values, np.uint64)
-    t.append(AggKey([(c.name, c.compiled, c.cb) for c in chips],
+    t.append(AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips],
                     params).digest_elems())
     t.append(pv)
 
@@ -258,10 +449,9 @@ def prove_chipset(chips: list, public_values: np.ndarray, params) -> AggProof:
     inputs = []
     for c in chips:
         n = c.n_rows
-        fixed = np.zeros((0, n), np.uint64)
         structural = np.zeros((0, n), np.uint64)
         inputs.append(chiplib.build_tower_inputs(
-            c.compiled, c.wit, fixed, structural, pv,
+            c.compiled, c.wit, c.fixed_mat(), structural, pv,
             c.num_instances, challenges,
         ))
 
@@ -298,25 +488,32 @@ def prove_chipset(chips: list, public_values: np.ndarray, params) -> AggProof:
     )
 
 
-def verify_chipset(key: AggKey, proof: AggProof) -> bool:
+def verify_chipset(key: AggKey, proof: AggProof, *,
+                   capture: dict | None = None, transcript=None) -> bool:
     """Verify a generic chipset proof: transcript replay, grouped tower
     verification, global read-write product + logup-sum checks, class main
-    recombination, jagged PCS verify."""
+    recombination, jagged PCS verify.
+
+    ``capture``/``transcript`` mirror scheme.verify's aggregation hooks, so
+    an aggregation proof can itself be aggregated (pairwise tree closure):
+    each tower-group / class-main stage records its inputs + a transcript
+    clone, and a recording ChainTranscript can replace the fresh
+    Transcript(LABEL_AGG)."""
     if len(proof.num_instances) != len(key.chips):
         raise AggError("chip count mismatch")
-    t = Transcript(LABEL_AGG)
+    t = transcript if transcript is not None else Transcript(LABEL_AGG)
     pv = np.asarray(proof.public_values, np.uint64)
     t.append(key.digest_elems())
     t.append(pv)
 
     heights = []
-    for (name, compiled, cb), k in zip(key.chips, proof.num_instances):
+    for (name, compiled, cb, fixed), k in zip(key.chips, proof.num_instances):
         if k <= 0:
             raise AggError(f"{name}: empty chip in aggregation proof")
         heights.append(max(2, 1 << max(0, (int(k) - 1).bit_length())))
     entries_all = [
         (compiled, int(k), h.bit_length() - 1)
-        for (name, compiled, cb), k, h in zip(
+        for (name, compiled, cb, fixed), k, h in zip(
             key.chips, proof.num_instances, heights)
     ]
     layout: dict = {}
@@ -328,7 +525,12 @@ def verify_chipset(key: AggKey, proof: AggProof) -> bool:
     t.append(proof.witness_root)
     for k in proof.num_instances:
         t.append([int(k) % bb.P])
+    if capture is not None:
+        capture["pre_challenges"] = t.clone()
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
+    if capture is not None:
+        capture["challenges"] = challenges
+        capture["pv"] = pv
 
     group_members: dict = {}
     for i, (compiled, k, n_vars) in enumerate(entries_all):
@@ -344,6 +546,11 @@ def verify_chipset(key: AggKey, proof: AggProof) -> bool:
     vctxs = [None] * len(key.chips)
     for n_t in sorted(group_members):
         members = group_members[n_t]
+        if capture is not None:
+            capture.setdefault("towers", []).append(
+                (n_t, [entries_all[i] for i in members],
+                 proof.tower_groups[n_t], t.clone())
+            )
         results = chiplib.verify_group_towers(
             [entries_all[i] for i in members],
             proof.tower_groups[n_t], pv, challenges, t,
@@ -375,6 +582,11 @@ def verify_chipset(key: AggKey, proof: AggProof) -> bool:
     openings = [None] * len(key.chips)
     for h in sorted(layout):
         members = [i for i, _, _ in layout[h]]
+        if capture is not None:
+            capture.setdefault("class_main", []).append(
+                (h, [vctxs[i] for i in members], proof.class_main[h],
+                 t.clone())
+            )
         opens = chiplib.verify_class_main(
             [vctxs[i] for i in members], proof.class_main[h],
             pv, challenges, t,
@@ -382,30 +594,61 @@ def verify_chipset(key: AggKey, proof: AggProof) -> bool:
         for i, op in zip(members, opens):
             openings[i] = op
 
+    # fixed schedule columns are KEY material (not committed): their claimed
+    # evals must equal the key columns' MLE at the class opening point
+    from ..sumcheck import host_impl as H
+
+    for i, (name, compiled, cb, fixed) in enumerate(key.chips):
+        if compiled.n_fixed == 0:
+            continue
+        if fixed is None:
+            raise AggError(f"{name}: key is missing fixed columns")
+        op = openings[i]
+        f = np.asarray(fixed, np.uint64)
+        h = heights[i]
+        if f.shape != (compiled.n_fixed, f.shape[1]) or f.shape[1] > h:
+            raise AggError(f"{name}: fixed column shape mismatch")
+        eqv = H.build_eq_host(np.asarray(op.point, np.uint64))  # (h, 4)
+        if eqv.shape[0] != h:
+            raise AggError(f"{name}: fixed eval point arity mismatch")
+        for j in range(compiled.n_fixed):
+            col = np.zeros(h, np.uint64)
+            col[: f.shape[1]] = f[j]
+            expect = np.sum((eqv * col[:, None]) % np.uint64(bb.P),
+                            axis=0) % np.uint64(bb.P)
+            if not np.array_equal(np.asarray(op.fixed_evals[j], np.uint64),
+                                  expect):
+                raise AggError(f"{name}: fixed column {j} eval mismatch")
+
     claims = _agg_jagged_claims(layout, slice_base, openings)
+    if capture is not None:
+        capture.setdefault("jagged", []).append(
+            (jl, claims, proof.witness_opening, t.clone())
+        )
     jagged.verify_jagged(
         proof.witness_root, jl, claims, proof.witness_opening, t, key.params,
     )
     return True
 
 
-def prove_aggregation(vk, proof, params=None, **verify_kwargs):
+def prove_aggregation(vk, proof, params=None, fs: bool = True,
+                      **verify_kwargs):
     """Build the aggregation witness from a REAL shard proof (verifying it
     in the process) and prove it through the chipset scheme. Returns
     (AggKey, AggProof). Public values bind the shard vk digest + the
-    shard's public values."""
-    sets, summary = build_aggregation_witness(vk, proof, **verify_kwargs)
-    chips = [
-        AggChip(name, compiled, cb, _pad_pow2(wit), wit.shape[1])
-        for name, compiled, cb, wit in sets
-    ]
+    shard's public values; with ``fs=True`` (default) the whole shard-verify
+    transcript is re-proven in-circuit and the fs-pv chip pins the chain's
+    statement absorbs to those public values."""
+    sets, summary = build_aggregation_witness(vk, proof, fs=fs,
+                                              **verify_kwargs)
+    chips = _agg_chips_from_sets(sets, fs)
     pv = np.concatenate([
         vk.digest_elems() % np.uint64(bb.P),
         np.asarray(proof.public_values, np.uint64) % np.uint64(bb.P),
     ])
     params = params or vk.params
     aproof = prove_chipset(chips, pv, params)
-    key = AggKey([(c.name, c.compiled, c.cb) for c in chips], params)
+    key = AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips], params)
     return key, aproof
 
 
@@ -415,3 +658,132 @@ def verify_aggregation(key: AggKey, aproof: AggProof) -> bool:
     batched-claim linkage, PCS query phase in-circuit) is carried by the
     corresponding chip families as they are wired in (RECURSION.md)."""
     return verify_chipset(key, aproof)
+
+
+# ---------------------------------------------------------------------------
+# Sharded aggregation: ALL shard proofs of a ShardedProof in ONE aggregation
+# proof (the reference recursion's shard-aggregation role,
+# ceno_recursion_v2 + scheme/verifier.rs:438-475 PV chaining). Each shard's
+# verify transcript is its own chain (disjoint duplex-step namespace, shared
+# challenge/pow registry); the PV-chaining and cross-shard EC-sum checks are
+# pv-only, so the aggregation VERIFIER replays them directly on the
+# aggregation public values (vk digest ++ every shard's pv).
+# ---------------------------------------------------------------------------
+
+
+def _agg_chips_from_sets(sets, fs: bool):
+    chips = []
+    for s in sets:
+        if fs:
+            name, compiled, cb, wit, fixed = s
+        else:
+            name, compiled, cb, wit = s
+            fixed = None
+        if wit.shape[1] == 0:
+            continue   # empty chip family this proof (e.g. no pow chains)
+        chips.append(AggChip(name, compiled, cb, _pad_pow2(wit),
+                             wit.shape[1], fixed))
+    return chips
+
+
+def check_pv_chain(pvs: list, expect_halt: bool = True) -> None:
+    """The pv-only half of zkvm/shard.py::verify_shards: shard ids,
+    pc/cycle/RAM-length/pubio chaining, global EC-sum infinity."""
+    from ..fields import septic as S
+    from .layout import (
+        PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
+        PV_PUBIO_DIGEST,
+    )
+
+    acc = (np.zeros(7, np.uint64), np.zeros(7, np.uint64))
+    prev_pv = None
+    for s, pv in enumerate(pvs):
+        pv = np.asarray(pv, np.uint64)
+        if int(pv[PV_SHARD_ID]) != s:
+            raise AggError(f"shard {s}: wrong shard id {pv[PV_SHARD_ID]}")
+        if prev_pv is not None:
+            if pv[PV_INIT_PC] != prev_pv[PV_END_PC]:
+                raise AggError(f"shard {s}: pc chain broken")
+            if pv[PV_INIT_CYCLE] != prev_pv[PV_END_CYCLE]:
+                raise AggError(f"shard {s}: cycle chain broken")
+            if (
+                pv[PV_HEAP_WORDS] != prev_pv[PV_HEAP_WORDS]
+                or pv[PV_STACK_WORDS] != prev_pv[PV_STACK_WORDS]
+                or pv[PV_INFO_WORDS] != prev_pv[PV_INFO_WORDS]
+            ):
+                raise AggError(f"shard {s}: dynamic RAM length mismatch")
+            if not np.array_equal(
+                pv[PV_PUBIO_DIGEST:PV_PUBIO_DIGEST + 16],
+                prev_pv[PV_PUBIO_DIGEST:PV_PUBIO_DIGEST + 16],
+            ):
+                raise AggError(f"shard {s}: pubio digest mismatch")
+        for base_pv in (PV_RW_SUM_IN, PV_RW_SUM_OUT):
+            pt = (pv[base_pv:base_pv + 7], pv[base_pv + 7:base_pv + 14])
+            acc = S.point_add(acc, pt)
+        prev_pv = pv
+    if not S.is_infinity(*acc):
+        raise AggError("cross-shard RAM EC sum is not the identity")
+
+
+def prove_shard_aggregation(vk, sproof, params=None):
+    """Aggregate EVERY shard proof of a ShardedProof into one FS-bound
+    aggregation proof. Returns (AggKey, AggProof, n_shards)."""
+    n = len(sproof.proofs)
+    specs = [
+        (proof, {"is_first": s == 0, "is_last": s == n - 1,
+                 "standalone": False})
+        for s, proof in enumerate(sproof.proofs)
+    ]
+    sets, summary = build_aggregation_witness_multi(vk, specs, fs=True)
+    chips = _agg_chips_from_sets(sets, fs=True)
+    pv = np.concatenate(
+        [vk.digest_elems() % np.uint64(bb.P)]
+        + [np.asarray(p.public_values, np.uint64) % np.uint64(bb.P)
+           for p in sproof.proofs]
+    )
+    params = params or vk.params
+    aproof = prove_chipset(chips, pv, params)
+    key = AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips], params)
+    return key, aproof, n
+
+
+def prove_chipset_aggregation(key: AggKey, aproofs: list, params=None):
+    """Aggregate AGGREGATION proofs (pairwise tree closure, the reference
+    recursion's compress step): each inner proof verifies through
+    verify_chipset's capture hooks on its own recording chain, the combined
+    FS-bound witness proves through the chipset scheme again. All inner
+    proofs must share ``key`` (same chip geometry). Returns
+    (outer_key, outer_proof)."""
+    specs = [(p, {}) for p in aproofs]
+    sets, _summary = build_aggregation_witness_multi(
+        None, specs, fs=True,
+        verify_fn=lambda proof, cap, t, **kw: verify_chipset(
+            key, proof, capture=cap, transcript=t),
+        label=LABEL_AGG, digest_len=len(key.digest_elems()),
+    )
+    chips = _agg_chips_from_sets(sets, fs=True)
+    pv = np.concatenate(
+        [key.digest_elems() % np.uint64(bb.P)]
+        + [np.asarray(p.public_values, np.uint64) % np.uint64(bb.P)
+           for p in aproofs]
+    )
+    params = params or key.params
+    outer = prove_chipset(chips, pv, params)
+    okey = AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips],
+                  params)
+    return okey, outer
+
+
+def verify_shard_aggregation(key: AggKey, aproof: AggProof, n_shards: int,
+                             n_digest: int) -> bool:
+    """Verify a sharded aggregation: the chipset proof (in-circuit shard
+    verifications) + the pv-only chaining and EC-sum checks on the
+    aggregation public values."""
+    verify_chipset(key, aproof)
+    pv = np.asarray(aproof.public_values, np.uint64)
+    if len(pv) != n_digest + n_shards * N_PV:
+        raise AggError("aggregation public value length mismatch")
+    pvs = [pv[n_digest + s * N_PV: n_digest + (s + 1) * N_PV]
+           for s in range(n_shards)]
+    check_pv_chain(pvs)
+    return True

@@ -496,7 +496,7 @@ class ZKVMError(Exception):
 
 def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
            is_last: bool = True, standalone: bool = True,
-           capture: dict | None = None) -> bool:
+           capture: dict | None = None, transcript=None) -> bool:
     """Verify one shard proof. ``standalone`` (the single-shard public API)
     additionally requires shard_id == 0 and an empty cross-shard bus.
 
@@ -505,7 +505,12 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     CLONE of the transcript taken just before the stage runs, so the
     recursion witgen mirrors (gkr/recursion.py) can replay the identical
     interaction without re-deriving the verify prefix. Verification
-    semantics are unchanged."""
+    semantics are unchanged.
+
+    ``transcript`` overrides the fresh ``Transcript(LABEL)`` (it must be a
+    freshly-constructed LABEL transcript or behave identically): the
+    aggregation pipeline passes a recording ``ChainTranscript`` so the whole
+    verify interaction becomes provable by the fs-chain chips."""
     pv = np.asarray(proof.public_values, np.uint64)
     if len(pv) != N_PUBLIC_VALUES:
         raise ZKVMError("bad public value count")
@@ -514,7 +519,7 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             raise ZKVMError("standalone proof must be shard 0")
         if pv[PV_RW_SUM_IN:PV_RW_SUM_IN + 28].any():
             raise ZKVMError("standalone proof must have empty rw sums")
-    t = Transcript(LABEL)
+    t = transcript if transcript is not None else Transcript(LABEL)
     t.append(vk.digest_elems())
     t.append(pv)
 
@@ -575,6 +580,8 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
     for ci in range(len(vk.metas)):
         t.append([proof.num_instances[ci] % bb.P])
 
+    if capture is not None:
+        capture["pre_challenges"] = t.clone()
     challenges = np.array([t.sample_ext(), t.sample_ext()], np.uint64)
     if capture is not None:
         capture["challenges"] = challenges
@@ -686,6 +693,10 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         if set(proof.witness_openings) != {jl_w.n_r}:
             raise ZKVMError("jagged proof must carry exactly one witness opening")
         claims = _jagged_claims(wit_layout, wslice, openings, extra_rows)
+        if capture is not None:
+            capture.setdefault("jagged", []).append(
+                (jl_w, claims, proof.witness_openings[jl_w.n_r], t.clone())
+            )
         jagged.verify_jagged(
             proof.witness_roots[jl_w.n_r], jl_w, claims,
             proof.witness_openings[jl_w.n_r], t, vk.params,
@@ -701,6 +712,10 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             {h: es for h, es in active_fixed.items() if es},
             fslice, openings, {}, fixed=True,
         )
+        if capture is not None:
+            capture.setdefault("jagged", []).append(
+                (jl_f, fclaims, proof.fixed_openings[jl_f.n_r], t.clone())
+            )
         jagged.verify_jagged(
             vk.fixed_roots[jl_f.n_r], jl_f, fclaims,
             proof.fixed_openings[jl_f.n_r], t, vk.params,

@@ -1,6 +1,9 @@
 """Aggregation witness: a REAL fibonacci shard proof's tower + class-main
 verification stages expressed as bus-balanced, MockProver-satisfiable chip
-witness sets (RECURSION.md build order #6, first slice)."""
+witness sets (RECURSION.md build order #6, first slice), and the FS-bound
+aggregation (build order #6 second slice: the whole shard-verify transcript
+re-proven in-circuit, challenges derived from it, aggregation proof through
+the jagged-PCS chipset scheme)."""
 
 import numpy as np
 import pytest
@@ -8,7 +11,10 @@ import pytest
 from ceno_tpu.fields import babybear as bb
 from ceno_tpu.emulator import programs
 from ceno_tpu.pcs.basefold import BasefoldParams
-from ceno_tpu.zkvm.aggregate import build_aggregation_witness
+from ceno_tpu.zkvm.aggregate import (
+    build_aggregation_witness, prove_aggregation, verify_aggregation,
+    AggError,
+)
 from ceno_tpu.zkvm.e2e import run_e2e
 from ceno_tpu.zkvm.tables import ZKVMConfig
 from ceno_tpu.gkr.mock import MockProver
@@ -54,3 +60,139 @@ def test_aggregation_witness_mock_satisfied(fib_result):
                      mp_sets[big][3], mp_sets[big][4], mp_sets[big][5])
     errs = MockProver.assert_satisfied(tampered, raise_on_error=False)
     assert errs
+
+
+def _agg_pv(vk, proof):
+    return np.concatenate([
+        vk.digest_elems() % np.uint64(bb.P),
+        np.asarray(proof.public_values, np.uint64) % np.uint64(bb.P),
+    ])
+
+
+def test_fs_aggregation_witness_mock_satisfied(fib_result):
+    """The FS-bound aggregation witness: the ENTIRE shard-verify transcript
+    (every Poseidon2 permutation) plus the tower/class-main stages, with
+    every stage challenge transcript-derived — bus-balanced and satisfied."""
+    res = fib_result
+    sets, summary = build_aggregation_witness(res.pk.vk, res.proof, fs=True)
+    names = [s[0] for s in sets]
+    assert "fs_duplex" in names and "fs_pv" in names and "fs_chal" in names
+    pv = _agg_pv(res.pk.vk, res.proof)
+    mp_sets = []
+    for name, compiled, cb, wit, fixed in sets:
+        k = wit.shape[1]
+        if k == 0:
+            continue
+        w = _pad(wit, k)
+        if fixed is None:
+            f = np.zeros((0, w.shape[1]), np.uint64)
+        else:
+            f = np.pad(np.asarray(fixed, np.uint64),
+                       ((0, 0), (0, w.shape[1] - fixed.shape[1])))
+        mp_sets.append((compiled, cb, w, f, pv, k))
+    assert MockProver.assert_satisfied(mp_sets) == []
+
+    # tampering ANY challenge wire must now break FS binding: flip one
+    # alpha component in the merged deg-3 rounds chip
+    idx = names.index("sc_rounds_d3")
+    name, compiled, cb, wit, fixed = sets[idx]
+    j = cb.wit_names.index("alpha_0")
+    bad = [list(s) for s in mp_sets]
+    for row in bad:
+        if row[0] is compiled:
+            w2 = row[2].copy()
+            w2[j, 0] = (int(w2[j, 0]) + 1) % bb.P
+            row[2] = w2
+    errs = MockProver.assert_satisfied([tuple(r) for r in bad],
+                                       raise_on_error=False)
+    assert errs
+
+
+def test_fs_aggregation_prove_verify(fib_result):
+    """End-to-end: prove the FS-bound aggregation witness through the
+    jagged-PCS chipset scheme and verify it."""
+    res = fib_result
+    key, aproof = prove_aggregation(res.pk.vk, res.proof, params=PARAMS)
+    assert verify_aggregation(key, aproof)
+    # the aggregation pv binds the shard statement
+    assert np.array_equal(aproof.public_values, _agg_pv(res.pk.vk, res.proof))
+    # serialization roundtrip (versioned binary format, no pickle)
+    from ceno_tpu.zkvm.serialize import agg_proof_to_bytes, agg_proof_from_bytes
+
+    blob = agg_proof_to_bytes(aproof, PARAMS)
+    aproof2, params2 = agg_proof_from_bytes(blob)
+    assert verify_aggregation(key, aproof2)
+    # tamper: a public value change must be rejected
+    bad = np.array(aproof.public_values, np.uint64)
+    bad[len(bad) - 1] = (int(bad[-1]) + 1) % bb.P
+    import dataclasses
+
+    with pytest.raises(Exception):
+        verify_aggregation(key, dataclasses.replace(aproof,
+                                                    public_values=bad))
+
+
+def test_chipset_aggregation_level2(fib_result):
+    """Pairwise tree closure: an aggregation proof itself aggregates —
+    verify_chipset's capture hooks feed the same witness builder, and the
+    level-2 witness is bus-balanced and satisfied."""
+    from ceno_tpu.zkvm.aggregate import (
+        build_aggregation_witness_multi, verify_chipset, LABEL_AGG,
+    )
+
+    res = fib_result
+    key, aproof = prove_aggregation(res.pk.vk, res.proof, params=PARAMS)
+    sets, summary = build_aggregation_witness_multi(
+        None, [(aproof, {})], fs=True,
+        verify_fn=lambda proof, cap, t, **kw: verify_chipset(
+            key, proof, capture=cap, transcript=t),
+        label=LABEL_AGG, digest_len=len(key.digest_elems()),
+    )
+    assert summary["tower_groups"] >= 1 and summary["classes"] >= 1
+    pv = np.concatenate([
+        key.digest_elems() % np.uint64(bb.P),
+        np.asarray(aproof.public_values, np.uint64),
+    ])
+    mp_sets = []
+    for name, compiled, cb, wit, fixed in sets:
+        k = wit.shape[1]
+        if k == 0:
+            continue
+        w = _pad(wit, k)
+        if fixed is None:
+            f = np.zeros((0, w.shape[1]), np.uint64)
+        else:
+            f = np.pad(np.asarray(fixed, np.uint64),
+                       ((0, 0), (0, w.shape[1] - fixed.shape[1])))
+        mp_sets.append((compiled, cb, w, f, pv, k))
+    assert MockProver.assert_satisfied(mp_sets) == []
+
+
+def test_shard_aggregation_prove_verify():
+    """Multi-shard: ALL shards of a 3+-shard fibonacci run aggregate into
+    ONE FS-bound proof; the aggregation verifier replays the pv-only
+    chaining + EC-sum checks on the aggregation public values."""
+    from ceno_tpu.emulator import programs as progs
+    from ceno_tpu.zkvm.scheme import keygen
+    from ceno_tpu.zkvm.shard import prove_shards
+    from ceno_tpu.zkvm.aggregate import (
+        prove_shard_aggregation, verify_shard_aggregation,
+    )
+
+    vm = progs.fibonacci_vm(12)
+    records = vm.run()
+    pk = keygen(vm.program, CFG, PARAMS)
+    sproof = prove_shards(pk, vm, records, 40)
+    assert sproof.n_shards >= 3
+    key, aproof, n = prove_shard_aggregation(pk.vk, sproof, params=PARAMS)
+    n_digest = len(pk.vk.digest_elems())
+    assert verify_shard_aggregation(key, aproof, n, n_digest)
+    # breaking the pv chain inside the AGGREGATION pv must be rejected
+    from ceno_tpu.zkvm.layout import N_PUBLIC_VALUES, PV_INIT_PC
+    import dataclasses
+
+    bad = np.array(aproof.public_values, np.uint64)
+    bad[n_digest + N_PUBLIC_VALUES + PV_INIT_PC] ^= 4
+    with pytest.raises(Exception):
+        verify_shard_aggregation(
+            key, dataclasses.replace(aproof, public_values=bad), n, n_digest)
