@@ -1,8 +1,9 @@
 """CLI: run / prove / verify guest programs (cargo-ceno mirror, SURVEY.md §2.7).
 
-    python -m ceno_tpu run    guest.s [--hints 1,2,3] [--max-steps N]
-    python -m ceno_tpu prove  guest.s [--hints ...] [-o proof.bin] [--profile test|prod]
-    python -m ceno_tpu verify guest.s proof.bin
+    python -m ceno_tpu run       guest.s [--hints 1,2,3] [--max-steps N]
+    python -m ceno_tpu prove     guest.s [--hints ...] [-o proof.bin] [--profile test|prod]
+    python -m ceno_tpu verify    guest.s proof.bin
+    python -m ceno_tpu aggregate guest.s proof.bin [-o agg.bin]
 
 Guests are mini-assembler sources (ceno_tpu/emulator/rv32im.py syntax);
 hints are comma-separated u32 words placed in the private-input region.
@@ -80,6 +81,14 @@ def main(argv=None):
         if name == "prove":
             p.add_argument("-o", "--out", default="proof.bin")
             p.add_argument("--profile", choices=("test", "prod"), default="prod")
+    pa = sub.add_parser(
+        "aggregate",
+        help="re-prove a shard proof's verification in-circuit (recursion)",
+    )
+    pa.add_argument("guest")
+    pa.add_argument("proof")
+    pa.add_argument("-o", "--out", default="agg.bin")
+    pa.add_argument("--profile", choices=("test", "prod"), default="prod")
     args = ap.parse_args(argv)
 
     # the test profile proves small programs: run the whole pipeline in numpy
@@ -88,6 +97,41 @@ def main(argv=None):
         import os
 
         os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 21))
+
+    if args.cmd == "aggregate":
+        from .zkvm.serialize import (
+            proof_from_bytes, agg_proof_to_bytes,
+        )
+        from .zkvm.scheme import keygen
+        from .zkvm.aggregate import prove_aggregation, verify_aggregation
+        from .emulator.state import Platform, make_program
+        from .emulator.rv32im import assemble
+
+        cfg, params = _profiles(args.profile)
+        proof, pv, em_cfg, em_params = proof_from_bytes(
+            open(args.proof, "rb").read()
+        )
+        if em_params != params or em_cfg != cfg:
+            print("aggregate: FAIL — proof/profile parameter mismatch")
+            return 1
+        rom = Platform.rom_start
+        src = open(args.guest).read().format(
+            heap=Platform.heap_start, hints=Platform.hints_start
+        )
+        pk = keygen(make_program(assemble(src, rom), rom), cfg, params)
+        t0 = time.time()
+        key, aproof = prove_aggregation(pk.vk, proof, params=params)
+        dt = time.time() - t0
+        t0 = time.time()
+        assert verify_aggregation(key, aproof)
+        data = agg_proof_to_bytes(aproof, params)
+        with open(args.out, "wb") as f:
+            f.write(data)
+        print(
+            f"aggregated in {dt:.1f}s, verified in {time.time() - t0:.1f}s "
+            f"-> {args.out} ({len(data)} bytes)"
+        )
+        return 0
 
     if args.cmd == "stats":
         import os
