@@ -313,14 +313,22 @@ def prove_towers(
     ]
 
     use_fused_tower = _os.environ.get("CENO_TPU_FUSED_TOWER", "1") == "1"
-    for level in range(1, n_vars):
+    # Bound the UNROLLED level count per fused program: the remote compiler
+    # of the axon tunnel OOM-kills giant programs (measured round 3: ~11
+    # unrolled levels at 2^20 -> tpu_compile_helper SIGKILL), and program
+    # size is linear in levels. Chunking keeps proofs byte-identical.
+    max_fused = int(_os.environ.get("CENO_TPU_FUSED_TOWER_LEVELS", "6"))
+    level = 1
+    while level < n_vars:
         if use_fused_tower and 2 * (1 << level) > _TOWER_HOST_N:
-            # ALL remaining (device) levels in ONE XLA program
+            # remaining (device) levels, <= max_fused per XLA program
+            last = min(n_vars, level + max_fused)
             rt, prod_claims, logup_claims = _prove_levels_fused(
-                proof, prod_lys, logup_lys, level, n_vars, rt,
+                proof, prod_lys, logup_lys, level, last, rt,
                 prod_claims, logup_claims, transcript,
             )
-            break
+            level = last
+            continue
         n_claims = len(prod_claims) + 2 * len(logup_claims)
         alphas = transcript.sample_ext_pows(n_claims)
         half = 1 << level
@@ -387,6 +395,7 @@ def prove_towers(
             new_logup.append([_fold_two(pLv, pRv, mu), _fold_two(qLv, qRv, mu)])
             e += 4
         prod_claims, logup_claims = new_prod, new_logup
+        level += 1
 
     record_claims = (
         np.stack(prod_claims) if prod_claims else np.zeros((0, 4), np.uint64),
@@ -658,9 +667,9 @@ _fused_tower_levels = aot.jit(
 )
 
 
-def _prove_levels_fused(proof, prod_lys, logup_lys, first_level, n_vars,
+def _prove_levels_fused(proof, prod_lys, logup_lys, first_level, last_level,
                         rt, prod_claims, logup_claims, transcript):
-    """Run levels [first_level, n_vars) through _fused_tower_levels and
+    """Run levels [first_level, last_level) through _fused_tower_levels and
     replay the absorb/sample sequence on the host transcript. Returns the
     updated (rt, prod_claims, logup_claims)."""
     n_prod, n_logup = len(prod_lys), len(logup_lys)
@@ -671,7 +680,7 @@ def _prove_levels_fused(proof, prod_lys, logup_lys, first_level, n_vars,
             [prod_lys[s][level] for s in range(n_prod)]
             + [logup_lys[s][i][level] for s in range(n_logup) for i in (0, 1)]
         )
-        for level in range(first_level, n_vars)
+        for level in range(first_level, last_level)
     )
     st, pos, sq_pos, absorbed = transcript.export_state()
     flat_dev, end_state = _fused_tower_levels(
@@ -679,12 +688,12 @@ def _prove_levels_fused(proof, prod_lys, logup_lys, first_level, n_vars,
         jnp.asarray(bb.np_to_monty(st.astype(np.uint32))),
         jnp.asarray(bb.np_to_monty(np.asarray(rt, np.uint64))),
         n_prod=n_prod, n_logup=n_logup, first_level=first_level,
-        n_vars=n_vars, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
+        n_vars=last_level, pos=pos, sq_pos=sq_pos, absorbed=absorbed,
     )
     flat = bb.np_from_monty(np.asarray(flat_dev)).astype(np.uint64)
     deg = 3
     off = 0
-    for level in range(first_level, n_vars):
+    for level in range(first_level, last_level):
         transcript.sample_ext_pows(n_claims)  # alphas (values replayed)
         n_m = level * (deg + 1) * 4
         msgs = flat[off : off + n_m].reshape(level, deg + 1, 4)
