@@ -123,7 +123,7 @@ def main(argv=None):
         key, aproof = prove_aggregation(pk.vk, proof, params=params)
         dt = time.time() - t0
         t0 = time.time()
-        assert verify_aggregation(key, aproof)
+        assert verify_aggregation(key, aproof, pk.vk)
         data = agg_proof_to_bytes(aproof, params)
         with open(args.out, "wb") as f:
             f.write(data)

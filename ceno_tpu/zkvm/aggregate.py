@@ -51,8 +51,14 @@ LABEL_AGG = scheme.LABEL + b"/agg-v1"
 
 
 # Multi-shard chain placement: each verified proof's transcript chain gets a
-# disjoint duplex-step range (slot keys = 8*step stay < P for <= 64 shards).
+# disjoint duplex-step range. Duplex slot keys go up to 8*(chain_end)+15, so
+# they stay < BabyBear P only while the LAST chain's steps stay below
+# (P - 16) / 8: with STEP_STRIDE = 2^22 that caps an aggregation at 60
+# chains (NOT 64 — shard 60's keys would wrap mod P and alias shard 0's
+# slot space, a silent soundness break). build_aggregation_witness_multi
+# enforces both the chain-count cap and the per-chain step budget.
 STEP_STRIDE = 1 << 22
+MAX_CHAINS = (bb.P - 16) // (8 * STEP_STRIDE)  # = 60
 # Jagged-stage bus namespaces (ids must clear the tower/class blocks)
 JAG_SC_BASE = 1 << 26      # SumcheckClaim id of opening o = JAG_SC_BASE + o
 JAG_EQ_BASE = 1 << 26      # EqChain cids: JAG_EQ_BASE + o*JAG_EQ_STRIDE + t
@@ -106,6 +112,11 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     if digest_len is None:
         digest_len = len(vk.digest_elems())
 
+    if fs and len(proof_specs) > MAX_CHAINS:
+        raise AggError(
+            f"at most {MAX_CHAINS} proofs per FS-bound aggregation "
+            f"(duplex slot keys would wrap mod P); aggregate in a tree"
+        )
     caps = []
     chains = []
     shared_reg = FS.FsRegistry() if fs else None
@@ -291,6 +302,12 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
                 w, f = chain_sets.setdefault(name, ([], [], compiled, cb))[:2]
                 w.append(wit)
                 f.append(fixed)
+            if chain._step - chain.step_base >= STEP_STRIDE:
+                raise AggError(
+                    f"chain {p} used {chain._step - chain.step_base} duplex "
+                    f"steps (>= STEP_STRIDE {STEP_STRIDE}): slot keys would "
+                    f"collide with the next chain's namespace"
+                )
         for name, (wits, fixeds, compiled, cb) in chain_sets.items():
             wit = np.concatenate(wits, axis=1)
             fixed = (np.concatenate(fixeds, axis=1)
@@ -652,12 +669,25 @@ def prove_aggregation(vk, proof, params=None, fs: bool = True,
     return key, aproof
 
 
-def verify_aggregation(key: AggKey, aproof: AggProof) -> bool:
-    """Verify an aggregation proof's GKR + PCS layers. The semantic link
-    back to the shard statement (FS-derived challenges, record-claim ->
+def verify_aggregation(key: AggKey, aproof: AggProof, vk) -> bool:
+    """Verify an aggregation proof's GKR + PCS layers AND that its public
+    values are bound to the TRUSTED shard vk: pv = vk digest ++ shard pv,
+    so the digest prefix must equal ``vk.digest_elems()`` — without this
+    check the proof could be bound to any vk the prover chose. The semantic
+    link back to the shard statement (FS-derived challenges, record-claim ->
     batched-claim linkage, PCS query phase in-circuit) is carried by the
     corresponding chip families as they are wired in (RECURSION.md)."""
-    return verify_chipset(key, aproof)
+    verify_chipset(key, aproof)
+    _check_pv_digest(aproof, vk.digest_elems())
+    return True
+
+
+def _check_pv_digest(aproof: AggProof, digest: np.ndarray) -> int:
+    digest = np.asarray(digest, np.uint64) % np.uint64(bb.P)
+    pv = np.asarray(aproof.public_values, np.uint64)
+    if len(pv) < len(digest) or not np.array_equal(pv[:len(digest)], digest):
+        raise AggError("aggregation pv is not bound to the expected vk digest")
+    return len(digest)
 
 
 # ---------------------------------------------------------------------------
@@ -686,9 +716,12 @@ def _agg_chips_from_sets(sets, fs: bool):
     return chips
 
 
-def check_pv_chain(pvs: list, expect_halt: bool = True) -> None:
+def check_pv_chain(pvs: list) -> None:
     """The pv-only half of zkvm/shard.py::verify_shards: shard ids,
-    pc/cycle/RAM-length/pubio chaining, global EC-sum infinity."""
+    pc/cycle/RAM-length/pubio chaining, global EC-sum infinity. Halt
+    enforcement is NOT a pv-only property — it lives in scheme.verify's
+    ``expect_halt`` (halt-chip instance count on the last shard), which the
+    aggregation witness builder runs per shard."""
     from ..fields import septic as S
     from .layout import (
         PV_INIT_PC, PV_END_PC, PV_INIT_CYCLE, PV_END_CYCLE,
@@ -775,11 +808,13 @@ def prove_chipset_aggregation(key: AggKey, aproofs: list, params=None):
 
 
 def verify_shard_aggregation(key: AggKey, aproof: AggProof, n_shards: int,
-                             n_digest: int) -> bool:
+                             vk) -> bool:
     """Verify a sharded aggregation: the chipset proof (in-circuit shard
-    verifications) + the pv-only chaining and EC-sum checks on the
+    verifications), the binding of the aggregation pv to the TRUSTED shard
+    ``vk`` (digest prefix), and the pv-only chaining + EC-sum checks on the
     aggregation public values."""
     verify_chipset(key, aproof)
+    n_digest = _check_pv_digest(aproof, vk.digest_elems())
     pv = np.asarray(aproof.public_values, np.uint64)
     if len(pv) != n_digest + n_shards * N_PV:
         raise AggError("aggregation public value length mismatch")

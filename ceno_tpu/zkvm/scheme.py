@@ -496,9 +496,16 @@ class ZKVMError(Exception):
 
 def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
            is_last: bool = True, standalone: bool = True,
+           expect_halt: bool = True,
            capture: dict | None = None, transcript=None) -> bool:
     """Verify one shard proof. ``standalone`` (the single-shard public API)
     additionally requires shard_id == 0 and an empty cross-shard bus.
+
+    ``expect_halt`` (reference: verifier.rs ``has_halt``): on the LAST
+    shard, require exactly one halt-chip instance — the halt chip is what
+    binds PV_END_PC/PV_END_CYCLE/exit code to a real ECALL-HALT, so without
+    this check a prover could present a trace that simply ran out without
+    halting while claiming arbitrary end-state public values.
 
     ``capture`` (aggregation hook, zkvm/aggregate.py): when a dict is
     passed, each tower-group / class-main stage records its inputs plus a
@@ -525,6 +532,13 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
 
     if len(proof.num_instances) != len(vk.metas):
         raise ZKVMError("chip count mismatch")
+    if is_last and expect_halt:
+        n_halt = sum(
+            int(proof.num_instances[ci])
+            for ci, meta in enumerate(vk.metas) if meta.name == "halt"
+        )
+        if n_halt != 1:
+            raise ZKVMError(f"final shard must halt exactly once (got {n_halt})")
 
     # reconstruct class grouping from num_instances + chip kinds; chips
     # with zero instances are skipped entirely (mirrors the prover)

@@ -414,7 +414,7 @@ def verify_shards(vk, sproof: ShardedProof, expect_halt: bool = True) -> bool:
                 raise ShardChainError(f"shard {s}: pubio digest mismatch")
         scheme.verify(
             vk, proof, is_first=(s == 0), is_last=(s == n_shards - 1),
-            standalone=False,
+            standalone=False, expect_halt=expect_halt,
         )
         for base_pv in (PV_RW_SUM_IN, PV_RW_SUM_OUT):
             pt = (pv[base_pv : base_pv + 7], pv[base_pv + 7 : base_pv + 14])

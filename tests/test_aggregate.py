@@ -113,7 +113,7 @@ def test_fs_aggregation_prove_verify(fib_result):
     jagged-PCS chipset scheme and verify it."""
     res = fib_result
     key, aproof = prove_aggregation(res.pk.vk, res.proof, params=PARAMS)
-    assert verify_aggregation(key, aproof)
+    assert verify_aggregation(key, aproof, res.pk.vk)
     # the aggregation pv binds the shard statement
     assert np.array_equal(aproof.public_values, _agg_pv(res.pk.vk, res.proof))
     # serialization roundtrip (versioned binary format, no pickle)
@@ -121,7 +121,7 @@ def test_fs_aggregation_prove_verify(fib_result):
 
     blob = agg_proof_to_bytes(aproof, PARAMS)
     aproof2, params2 = agg_proof_from_bytes(blob)
-    assert verify_aggregation(key, aproof2)
+    assert verify_aggregation(key, aproof2, res.pk.vk)
     # tamper: a public value change must be rejected
     bad = np.array(aproof.public_values, np.uint64)
     bad[len(bad) - 1] = (int(bad[-1]) + 1) % bb.P
@@ -129,7 +129,8 @@ def test_fs_aggregation_prove_verify(fib_result):
 
     with pytest.raises(Exception):
         verify_aggregation(key, dataclasses.replace(aproof,
-                                                    public_values=bad))
+                                                    public_values=bad),
+                           res.pk.vk)
 
 
 def test_chipset_aggregation_level2(fib_result):
@@ -186,7 +187,7 @@ def test_shard_aggregation_prove_verify():
     assert sproof.n_shards >= 3
     key, aproof, n = prove_shard_aggregation(pk.vk, sproof, params=PARAMS)
     n_digest = len(pk.vk.digest_elems())
-    assert verify_shard_aggregation(key, aproof, n, n_digest)
+    assert verify_shard_aggregation(key, aproof, n, pk.vk)
     # breaking the pv chain inside the AGGREGATION pv must be rejected
     from ceno_tpu.zkvm.layout import N_PUBLIC_VALUES, PV_INIT_PC
     import dataclasses
@@ -195,4 +196,4 @@ def test_shard_aggregation_prove_verify():
     bad[n_digest + N_PUBLIC_VALUES + PV_INIT_PC] ^= 4
     with pytest.raises(Exception):
         verify_shard_aggregation(
-            key, dataclasses.replace(aproof, public_values=bad), n, n_digest)
+            key, dataclasses.replace(aproof, public_values=bad), n, pk.vk)
