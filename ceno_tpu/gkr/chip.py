@@ -379,8 +379,12 @@ def build_records_from_sel(compiled: CompiledChip, wit, fixed, structural,
         for e in compiled.lk_exprs:
             ps.append(_promote(sel))
             qs.append(padded(e))
-        for mult, rec in compiled.lk_table:
-            k, v = _eval_expr(E.Neg(mult), ctx, memo)
+        # hold the Neg temporaries alive for the whole loop: the memo is
+        # id()-keyed, and a freed temp's address can be REUSED by the next
+        # iteration's Neg, silently returning the previous record's value
+        neg_mults = [E.Neg(mult) for mult, _ in compiled.lk_table]
+        for nm, (mult, rec) in zip(neg_mults, compiled.lk_table):
+            k, v = _eval_expr(nm, ctx, memo)
             v = _as_ext_n(k, v, n)
             ps.append(ext4.mul_base(v, sel))
             qs.append(padded(rec))
@@ -481,10 +485,13 @@ def _build_records_host(compiled, wit, fixed, structural, instances, challenges,
             pcol[:, 0] = sel
             ps.append(pcol)
             qs.append(padded(e))
-        for mult, rec in compiled.lk_table:
-            from ..mle import expression as E
+        from ..mle import expression as E
 
-            kind, v = eval_expr_host(E.Neg(mult), wit, fixed, structural, instances, challenges, memo)
+        # keep the Neg temps alive: the eval memo is id()-keyed (see the
+        # device builder above)
+        neg_mults = [E.Neg(mult) for mult, _ in compiled.lk_table]
+        for nm, (mult, rec) in zip(neg_mults, compiled.lk_table):
+            kind, v = eval_expr_host(nm, wit, fixed, structural, instances, challenges, memo)
             v = to_ext(kind, v)
             v = v * sel[:, None] % p
             ps.append(v)

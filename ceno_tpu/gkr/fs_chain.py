@@ -101,6 +101,8 @@ class FsChainChips:
     absx_compiled: object
     absb_cb: CircuitBuilder
     absb_compiled: object
+    const_cb: CircuitBuilder
+    const_compiled: object
     pow_start_cb: CircuitBuilder
     pow_start_compiled: object
     pow_cb: CircuitBuilder
@@ -205,6 +207,16 @@ def build_fs_chain_chips() -> FsChainChips:
                         [b_cid, b_v, E.Const(0), E.Const(0), E.Const(0)])
     absb_compiled = compile_chip(bb_)
 
+    # -- constant table: key-fixed values consumers can look up -------------------
+    # (e.g. the 0/1 slice-index bits of jagged eq chains, EC extended-point
+    # constants). Both cid and value are FIXED — pure aggregation-key material.
+    kb = CircuitBuilder("fs_const_table")
+    k_cid = kb.create_fixed("cid")
+    k_v = [kb.create_fixed(f"v{j}") for j in range(4)]
+    k_mult = kb.create_witin("mult")
+    kb.lk_table_record(LK_AGG_CHAL, k_mult, [k_cid] + list(k_v))
+    const_compiled = compile_chip(kb)
+
     # -- pow chain ------------------------------------------------------------------
     one = G.ExtWire.constant(exth.one())
     pb0 = CircuitBuilder("fs_pow_start")
@@ -241,6 +253,7 @@ def build_fs_chain_chips() -> FsChainChips:
                         ab, abs_compiled, zb, abs0_compiled,
                         sb, scav_compiled, tb, chal_compiled,
                         xb, absx_compiled, bb_, absb_compiled,
+                        kb, const_compiled,
                         pb0, pow_start_compiled, pb, pow_compiled,
                         pe, pow_end_compiled)
 
@@ -263,6 +276,7 @@ class FsRegistry:
         self.absb_rows = []         # (cid, aidx, value)  absorbed bases
         self.chal_mult = {}         # cid -> lookup use count
         self.pow_chains = []        # (pid, bcid, cid0, a4, values (n+1, 4))
+        self.const_rows = {}        # value4 bytes -> (cid, value4)
         self.next_cid = 0
         self.next_pid = 0
 
@@ -273,6 +287,32 @@ class FsRegistry:
 
     def use(self, cid: int, times: int = 1) -> None:
         self.chal_mult[cid] = self.chal_mult.get(cid, 0) + times
+
+    def register_pow_chain(self, bcid: int, base_val, n: int) -> int:
+        """Pow chain a^0..a^{n-1} from an ALREADY-REGISTERED base challenge
+        ``bcid`` (no transcript interaction — pure registry material).
+        Returns cid0 such that a^i lives at cid0 + i."""
+        cid0 = self.alloc_cid(max(n, 0))
+        a = np.asarray(base_val, np.uint64).reshape(4)
+        vals = np.zeros((n + 1, 4), np.uint64)
+        cur = exth.one()
+        for i in range(n):
+            vals[i] = cur
+            cur = exth.mul(cur, a)
+        vals[n] = cur
+        pid = self.next_pid
+        self.next_pid += 1
+        self.pow_chains.append((pid, bcid, cid0, a, vals))
+        self.use(bcid, n)
+        return cid0
+
+    def const_cid(self, value) -> int:
+        """cid of a key-fixed constant table row (allocated on first use)."""
+        v = np.asarray(value, np.uint64).reshape(4) % _P
+        key = v.tobytes()
+        if key not in self.const_rows:
+            self.const_rows[key] = (self.alloc_cid(), v)
+        return self.const_rows[key][0]
 
 
 class ChainTranscript(Transcript):
@@ -456,6 +496,31 @@ class ChainTranscript(Transcript):
         for j in range(4):
             self.registry.claimed_samples.add(sidx + j)
         return sidx, v
+
+    def sample_base_slot(self):
+        """Sample one BASE element whose slot the CONSUMER chip reads
+        directly (pcs query indices / PoW checks). Returns (sidx, value)."""
+        sidx = self._sample_slot_idx()
+        v = self.sample_base()
+        self.registry.claimed_samples.add(sidx)
+        return sidx, v
+
+    def register_absorbed_ext(self, aidx: int, value) -> int:
+        """Register 4 ALREADY-RECORDED absorb slots (main-pass absorbs the
+        stage mirrors don't replay, e.g. the shard verify's commitment-root
+        absorb) as an absorbed-ext table row. Returns the cid."""
+        cid = self.registry.alloc_cid()
+        v = np.asarray(value, np.uint64).reshape(4) % _P
+        for k in range(4):
+            self.registry.claimed_abs.add(aidx + k)
+        self.registry.absx_rows.append((cid, aidx, v))
+        return cid
+
+    def register_absorbed_base(self, aidx: int, value) -> int:
+        cid = self.registry.alloc_cid()
+        self.registry.claimed_abs.add(aidx)
+        self.registry.absb_rows.append((cid, aidx, int(value) % bb.P))
+        return cid
 
     def clone(self):
         """Stage captures inside scheme.verify take clones; for a recording
@@ -648,6 +713,15 @@ def finalize_registry(chips: FsChainChips, reg: FsRegistry):
                      if pe_rows else np.zeros((0, 4), np.uint64))
         pe_wit = _mat(chips.pow_end_cb, pecols, len(pe_rows))
 
+        kcols = {"mult": np.array(
+            [reg.chal_mult.get(cid, 0)
+             for cid, _ in reg.const_rows.values()], np.uint64)}
+        const_fixed = np.zeros((5, len(reg.const_rows)), np.uint64)
+        for j, (cid, v) in enumerate(reg.const_rows.values()):
+            const_fixed[0, j] = cid
+            const_fixed[1:, j] = v
+        const_wit = _mat(chips.const_cb, kcols, len(reg.const_rows))
+
         none_fixed = None
         return [
             ("fs_chal", chips.chal_compiled, chips.chal_cb, chal_wit,
@@ -656,6 +730,8 @@ def finalize_registry(chips: FsChainChips, reg: FsRegistry):
              absx_fixed),
             ("fs_absb", chips.absb_compiled, chips.absb_cb, absb_wit,
              absb_fixed),
+            ("fs_const", chips.const_compiled, chips.const_cb, const_wit,
+             const_fixed),
             ("fs_pow_start", chips.pow_start_compiled, chips.pow_start_cb,
              ps_wit, none_fixed),
             ("fs_pow", chips.pow_compiled, chips.pow_cb, pow_wit, pow_fixed),

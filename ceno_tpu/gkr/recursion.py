@@ -729,6 +729,11 @@ def build_tower_verify_chips(s_p: int, s_l: int, n_vars: int,
     eb.write_record(ehead + [E.Const(1)] + [c for w in init_claims for c in w.c])
     eb.read_record(ehead + [E.Const(n_vars)] + [c for w in rc for c in w.c])
     if bind:
+        # publish each record claim for the batch-link rows (claim_link.py)
+        for jc in range(n_claims):
+            eb.write_record([E.Const(RAM_CUSTOM), E.Const(TAG_REC_CLAIM),
+                             einst, E.Const(jc)] + rc[jc].c)
+    if bind:
         # FS binding: the ends row supplies the absorbed layer-1 outs and
         # derives rt0 from the challenge table.
         e_oidx = eb.create_fixed("oidx")
@@ -790,6 +795,8 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
     erows: dict = {"inst": inst0 + np.arange(m, dtype=np.uint64)}
     eext: dict = {}
     record_claims = np.zeros((m, n_claims, 4), np.uint64)
+    rt_list: list = []
+    rt_cids_list: list = []
 
     def bput(name, v):
         bext.setdefault(name, []).append(np.asarray(v, np.uint64))
@@ -962,6 +969,9 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
         for j in range(n_claims):
             record_claims[i, j] = claims[j]
             eput(f"rc{j}", claims[j])
+        rt_list.append(rt.copy())
+        if bind:
+            rt_cids_list.append(list(rt_cids))
 
     # -- materialize witness matrices ----------------------------------------
     n_sc = len(sc_rows)
@@ -1012,6 +1022,9 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
         )
         fixed_out["ends"] = np.array([efix["oidx"], efix["rcid"]], np.uint64)
         fixed_out["eqrows"] = eqrows.materialize_fixed()
+        # the towers' final points + their challenge cids (claim-link input)
+        fixed_out["rt"] = rt_list
+        fixed_out["rt_cids"] = rt_cids_list
     return rounds_wit, bound_wit, eqrows_wit, ends_wit, record_claims
 
 
@@ -1074,7 +1087,10 @@ class JaggedVerifyChips:
 def build_jagged_verify_chips(log_r: int, n_claims: int,
                               bind: bool = False) -> JaggedVerifyChips:
     # -- eq-chain rows chip (shared shape with the tower eq chains) -----------
-    cb, rows_compiled = build_eq_rows_chip()
+    # bind=True: BOTH chain coordinates are challenge-table lookups — z is a
+    # class-main / EC point coordinate or a key-fixed 0/1 slice-index bit
+    # (fs_const table row), r a translation-sumcheck round challenge.
+    cb, rows_compiled = build_eq_rows_chip(bind=bind)
     one = G.ExtWire.constant(exth.one())
 
     # -- per-claim chip -------------------------------------------------------
@@ -1135,7 +1151,8 @@ def build_jagged_verify_chips(log_r: int, n_claims: int,
 
 def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
                          proof, transcript: Transcript, jid: int = 0,
-                         cid_base: int = 0, fixed_out: dict | None = None):
+                         cid_base: int = 0, fixed_out: dict | None = None,
+                         z_cid_map: dict | None = None):
     """Witgen mirror of verify_jagged's recombination (+ the translation
     sumcheck's rounds-chip rows). ``transcript`` must sit where the jagged
     verifier's would. Returns (rows_wit, claims_wit, final_wit, sc_cols) —
@@ -1219,19 +1236,41 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
     accns = np.zeros((n_rows, 4), np.uint64)
     ws = np.zeros((n_claims, 4), np.uint64)
     one = exth.one()
+    row_zcids = np.zeros(n_rows, np.uint64)
+    row_rcids = np.zeros(n_rows, np.uint64)
+    if bind:
+        assert z_cid_map is not None, \
+            "FS-bound jagged chains need the claim points' challenge cids"
+        point_cids = [0] * log_r
+        # acids are round-order; point = chals[::-1]
+        for kk in range(log_r):
+            point_cids[kk] = int(acids[log_r - 1 - kk])
     for tt, cl in enumerate(claims):
         ref = layout.slices[cl.slice_idx]
         zpt = np.asarray(cl.z, np.uint64)
         assert zpt.shape[0] == ref.log_h
+        if bind:
+            zc = z_cid_map.get(np.ascontiguousarray(zpt).tobytes())
+            assert zc is not None and len(zc) >= ref.log_h, \
+                "jagged claim point has no registered challenge cids"
         acc = one.copy()
         for kk in range(log_r):
             if kk < ref.log_h:
                 zk = zpt[kk]
+                if bind:
+                    zcid = zc[kk]
             else:
                 bit = (ref.sub_idx >> (kk - ref.log_h)) & 1
                 zk = exth.from_base(np.uint64(bit))
+                if bind:
+                    zcid = reg.const_cid(zk)
             rk = point[kk].astype(np.uint64)
             row = tt * log_r + kk
+            if bind:
+                row_zcids[row] = zcid
+                row_rcids[row] = point_cids[kk]
+                reg.use(zcid)
+                reg.use(point_cids[kk])
             zs[row], rs[row], accs[row] = zk, rk, acc
             zr = exth.mul(zk, rk)
             zrs[row] = zr
@@ -1281,6 +1320,12 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
         if fixed_out is not None:
             fixed_out["claims"] = np.array([claim_gcids, claim_vcids],
                                            np.uint64)
+            fixed_out["rows"] = np.array([row_zcids, row_rcids], np.uint64)
+            # the opening point + its challenge cids + per-matrix-column
+            # absorbed-eval cids: the PCS query stage binds against these
+            fixed_out["point"] = point
+            fixed_out["point_cids"] = point_cids
+            fixed_out["vcids"] = list(vcids)
     qcols: dict = {
         "jid": np.full(n_claims, jid, np.uint64),
         "t": np.arange(n_claims, dtype=np.uint64),
@@ -1352,6 +1397,12 @@ TAG_SLOT_SUM = 11
 TAG_CHIP_ACC = 12
 TAG_CLASS_SUM = 13
 TAG_CLASS_BATCH = 14
+# claim-link tags consumed by the bind-mode chips here (gkr/claim_link.py
+# owns the producing chips)
+TAG_REC_CLAIM = 28
+TAG_BC = 30
+TAG_MULT = 35
+TAG_SEQ = 36
 
 
 @dataclass
@@ -1403,6 +1454,11 @@ def build_class_main_verify_chips(bind: bool = False) -> ClassMainVerifyChips:
     shead = [E.Const(RAM_CUSTOM), E.Const(TAG_SLOT_SUM), sid]
     tb.read_record(shead + [j] + s_in.c)
     tb.write_record(shead + [j + 1] + s_in.add(val).c)
+    if bind:
+        # the term scalar is the published value of its scalar-eval DAG
+        # node (gkr/claim_link.py::ScalarRegistry) under a key-fixed cid
+        t_scid = tb.create_fixed("scid")
+        tb.lk_record(FS.LK_AGG_CHAL, [t_scid] + scalar.c)
     term_compiled = compile_chip(tb)
 
     # -- per-slot chip ---------------------------------------------------------
@@ -1422,6 +1478,11 @@ def build_class_main_verify_chips(bind: bool = False) -> ClassMainVerifyChips:
     ahead = [E.Const(RAM_CUSTOM), E.Const(TAG_CHIP_ACC), cidx]
     sb.read_record(ahead + [si] + a_in.c)
     sb.write_record(ahead + [si + 1] + a_in.add(mv).c)
+    if bind:
+        # the slot multiplier alpha_cat * eq(b*, rec) is derived in-circuit
+        # by the claim-link mult rows; no longer a free wire
+        sb.read_record([E.Const(RAM_CUSTOM), E.Const(TAG_MULT), ssid]
+                       + mult.c)
     slot_compiled = compile_chip(sb)
 
     # -- per-chip chip ---------------------------------------------------------
@@ -1452,6 +1513,11 @@ def build_class_main_verify_chips(bind: bool = False) -> ClassMainVerifyChips:
         # gamma is a pow-chain power: bound on the challenge table
         h_gcid = hb.create_fixed("gcid")
         hb.lk_record(FS.LK_AGG_CHAL, [h_gcid] + list(gamma.c))
+        # the batched claim and the masked-eq selector are derived
+        # in-circuit by the claim-link chains (gkr/claim_link.py)
+        hb.read_record([E.Const(RAM_CUSTOM), E.Const(TAG_BC), hcidx] + bc.c)
+        hb.read_record([E.Const(RAM_CUSTOM), E.Const(TAG_SEQ), hcidx]
+                       + s_eq.c)
     chip_compiled = compile_chip(hb)
 
     # -- class-final chip -------------------------------------------------------
@@ -1483,7 +1549,8 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
                              challenges: np.ndarray, transcript: Transcript,
                              class_id: int = 0,
                              tid0: int = 0, sid0: int = 0, cidx0: int = 0,
-                             fixed_out: dict | None = None):
+                             fixed_out: dict | None = None,
+                             scalar_reg=None):
     """Witgen mirror of verify_class_main for ONE height class. ``transcript``
     must sit where the class-main verifier's would (samples gammas, replays
     the class sumcheck, absorbs the evals). Global chain ids start at
@@ -1590,6 +1657,8 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
     btotal = np.zeros(4, np.uint64)
     prod_ccids: list = []
     chip_gcids: list = []
+    term_scids: list = []
+    chip_sid0: list = []
     for i, v in enumerate(vctxs):
         compiled = v.compiled
         we = np.asarray(class_proof.wit_evals[i], np.uint64)
@@ -1600,10 +1669,17 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
             if compiled.n_cols else np.zeros((0, 4), np.uint64)
         )
         acc = np.zeros(4, np.uint64)
+        chip_sid0.append(sid)
         for si_, slot in enumerate(compiled.slots):
             slot_val = np.zeros(4, np.uint64)
             for jj, tm in enumerate(slot.terms):
                 sc_val = E.eval_scalar(tm.scalar, challenges, instances)
+                if bind and scalar_reg is not None:
+                    scid = scalar_reg.cid_of(tm.scalar)
+                    assert np.array_equal(scalar_reg.value_of(tm.scalar),
+                                          sc_val)
+                    reg.use(scid)
+                    term_scids.append(scid)
                 p_run = sc_val
                 for st, cref in enumerate(tm.cols):
                     col_i = _col_index(cref, compiled.n_wit, compiled.n_fixed)
@@ -1698,4 +1774,12 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
     if bind and fixed_out is not None:
         fixed_out["prod"] = np.array([prod_ccids], np.uint64)
         fixed_out["chips"] = np.array([chip_gcids], np.uint64)
+        if scalar_reg is not None:
+            fixed_out["terms"] = np.array([term_scids], np.uint64)
+        fixed_out["chip_sid0"] = chip_sid0
+        # the class opening point + its challenge cids (jagged claims bind
+        # their z coordinates against these)
+        fixed_out["point"] = point
+        fixed_out["point_cids"] = [int(acids[n_vars - 1 - k])
+                                   for k in range(n_vars)]
     return prod_wit, term_wit, slot_wit, chip_wit, final_wit, sc_cols, deg

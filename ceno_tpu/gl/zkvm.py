@@ -16,9 +16,10 @@ sumcheck rounds, round-order points):
   open         ->  GL Basefold batch-open of the witness columns at the
                    main point (fold oracles + PoW grinding, gl/pcs.py)
 
-Scope: single-chip prove/verify (the `--field goldilocks` capability
-demonstration on the real circuits); the full multi-chip scheme mirrors
-zkvm/scheme.py and is round-3 work (PARITY.md)."""
+Scope: the single-chip prove/verify primitives; the FULL multi-chip
+standalone-shard scheme (every active chip, tables with fixed/structural
+columns, global bus checks, GL witgen via zkvm/chips/field_ctx.py) lives
+in gl/scheme.py (round 4)."""
 
 from __future__ import annotations
 
@@ -160,8 +161,10 @@ def build_records_gl(compiled, wit, fixed, structural, instances,
     logups = []
     for e in compiled.lk_exprs:
         logups.append((sel_e.copy(), padded(e)))
-    for mult, rec in compiled.lk_table:
-        kk, v = eval_expr_gl(E.Neg(mult), wit, fixed, structural, instances,
+    # hold the Neg temps alive: the eval memo is id()-keyed (gkr/chip.py)
+    neg_mults = [E.Neg(mult) for mult, _ in compiled.lk_table]
+    for nm, (mult, rec) in zip(neg_mults, compiled.lk_table):
+        kk, v = eval_expr_gl(nm, wit, fixed, structural, instances,
                              challenges, memo)
         v = _as_ext_n(kk, v, n)
         logups.append((g2.mul(v, sel_e), padded(rec)))
@@ -380,23 +383,26 @@ def _sel_eq_masked(rt, k, n):
     return eq
 
 
+def _gl2_sum(arr: np.ndarray) -> np.ndarray:
+    """Sum a (n, 2) GL2 array (object-int accumulation avoids u64 wrap)."""
+    if arr.shape[0] == 0:
+        return np.zeros(2, np.uint64)
+    s0 = int(np.sum(arr[:, 0].astype(object))) % gl.P
+    s1 = int(np.sum(arr[:, 1].astype(object))) % gl.P
+    return np.array([s0, s1], np.uint64)
+
+
 def _sel_prefix_eval(rt, k):
-    """sum_{x < k} eq(rt, x) — O(N) host table walk (demo path)."""
+    """sum_{x < k} eq(rt, x) — vectorized host table walk."""
     eq = gsc.build_eq(rt)
-    acc = np.zeros(2, np.uint64)
-    for x in range(k):
-        acc = g2.add(acc, eq[x])
-    return acc
+    return _gl2_sum(eq[:k])
 
 
 def _sel_eq_eval(rt, point, k):
-    """MLE of the masked eq column evaluated at ``point`` (O(N) demo)."""
+    """MLE of the masked eq column evaluated at ``point``."""
     eq_rt = gsc.build_eq(rt)
     eq_pt = gsc.build_eq(point)
-    acc = np.zeros(2, np.uint64)
-    for x in range(k):
-        acc = g2.add(acc, g2.mul(eq_rt[x], eq_pt[x]))
-    return acc
+    return _gl2_sum(g2.mul(eq_rt[:k], eq_pt[:k]))
 
 
 def _slot_targets(compiled, prod_claims, logup_claims):

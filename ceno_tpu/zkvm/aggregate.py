@@ -8,14 +8,17 @@ class-main stage through the recursion witgen mirrors (gkr/recursion.py),
 producing bus-balanced chip witness sets that PROVE the verification of
 those stages in this framework's own GKR stack.
 
-Covered in-circuit today: all grouped tower verifications (per-level
-sumchecks + eq-weighted recombination + claim folding) and all
-class-batched main zerochecks (term/slot/chip/class recombination chains),
-each bound to its sumcheck claim chain on the shared bus. Witnessed-but-
-outer-bound: transcript challenges (alphas/mu/gammas/eq evals — the FS
-duplex chips of build order #3 supply these when the transcript chain is
-wired end-to-end), the tower record claims -> class batched-claim linkage,
-and the jagged/PCS stages (chips exist, wiring follows).
+Covered in-circuit (round 4 — the full verifier): grouped tower
+verifications, class-batched main zerochecks, the jagged translation
+argument with BOTH eq-chain coordinates challenge-bound, the record-claim
+-> batched-claim link (gkr/claim_link.py: bc / slot multipliers / sel_eq /
+sel_v / term scalars all derived, no free wires), the ENTIRE Fiat-Shamir
+transcript (fs-chain duplex chips; statement absorbs pinned to the
+aggregation pv, commitment roots and num_instances bound), and the PCS
+query phase (gkr/pcs_verify.py: Merkle membership, fold consistency,
+PoW, canonical query sampling). The one stage whose arithmetic is not yet
+chip-ified is the EC-sum quark verify (its transcript interactions ARE
+registered, so its challenges and the EC-point jagged claims are bound).
 
 Bus id allocation: tower group g gets SumcheckClaim ids in
 [g*SC_STRIDE, (g+1)*SC_STRIDE) via the build-time sc_base; height class j
@@ -65,6 +68,46 @@ JAG_EQ_BASE = 1 << 26      # EqChain cids: JAG_EQ_BASE + o*JAG_EQ_STRIDE + t
 JAG_EQ_STRIDE = 1 << 16
 
 
+def _register_ec_stage(ecp, t, z_cid_map: dict, reg) -> None:
+    """Replay an EC-sum quark verification's transcript interactions on the
+    cursor ``t``, registering every challenge / absorbed eval so (a) the
+    jagged claims at the EC extended points can bind their coordinates and
+    (b) a later EC-verify chip stage can consume the same cids. The EC
+    arithmetic checks themselves are not yet chip-ified."""
+    from ..gkr.eccquark import DEG
+
+    n = ecp.n_vars
+    for _ in range(n):
+        t.sample_ext_chal()                 # out_rt batching point
+    t.sample_ext_pows_chal(DEG * 7)         # constraint alphas
+    msgs = np.asarray(ecp.round_msgs, np.uint64)
+    rnd_cids = []
+    chals = np.zeros((n, 4), np.uint64)
+    for rnd in range(n):
+        # plain append (NOT append_slots): no EC chip supplies these absorb
+        # slots yet, so the generic fs_abs supplier must keep covering them
+        t.append(msgs[rnd].ravel())
+        acid, ch = t.sample_ext_chal()
+        rnd_cids.append(acid)
+        chals[rnd] = ch
+    evs = np.asarray(ecp.col_evals, np.uint64)
+    for row in range(evs.shape[0]):
+        t.append_ext_chal(evs[row])
+    rt = chals[::-1].copy()
+    point_cids = rnd_cids[::-1]
+    pts = scheme._ec_extended_points(rt)
+    czero = reg.const_cid(np.zeros(4, np.uint64))
+    cone = reg.const_cid(exth.one())
+    cid_lists = {
+        "even": [czero] + point_cids,
+        "odd": [cone] + point_cids,
+        "hi": point_cids + [cone],
+    }
+    for name, pt in pts.items():
+        z_cid_map[np.ascontiguousarray(pt, np.uint64).tobytes()] = \
+            cid_lists[name]
+
+
 def build_aggregation_witness(vk, proof, fs: bool = False, **verify_kwargs):
     """Verify ``proof`` (raising on any failure) and return the in-circuit
     verification witness, bus-balanced as a whole, plus a summary dict.
@@ -87,7 +130,8 @@ def build_aggregation_witness(vk, proof, fs: bool = False, **verify_kwargs):
 
 def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
                                     verify_fn=None, label: bytes | None = None,
-                                    digest_len: int | None = None):
+                                    digest_len: int | None = None,
+                                    params=None):
     """Multi-proof aggregation witness: verify EVERY (proof, verify_kwargs)
     in ``proof_specs`` and emit one bus-balanced chip-set list covering all
     of them. Same-shape chip families (sumcheck rounds per degree, eq1
@@ -111,6 +155,8 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
         label = scheme.LABEL
     if digest_len is None:
         digest_len = len(vk.digest_elems())
+    if params is None and vk is not None:
+        params = vk.params
 
     if fs and len(proof_specs) > MAX_CHAINS:
         raise AggError(
@@ -127,10 +173,11 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
                                        step_base=p * STEP_STRIDE)
             verify_fn(proof, cap, chain, **verify_kwargs)
             # global RLC challenges alpha/beta: registered on the challenge
-            # table (consumers bind progressively as stages are wired)
+            # table (scalar-eval leaves + pow chains bind against them)
             pre = cap["pre_challenges"]
-            pre.sample_ext_chal()
-            pre.sample_ext_chal()
+            cid_a, _ = pre.sample_ext_chal()
+            cid_b, _ = pre.sample_ext_chal()
+            cap["chal_cids"] = (cid_a, cid_b)
             chains.append(chain)
         else:
             verify_fn(proof, cap, None, **verify_kwargs)
@@ -143,9 +190,28 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     eqrows_wits: list = []     # eq1-chain rows, merged into one chip set
     eqrows_fixed: list = []
     eqrows_chip = None
-    jag_eq_wits: list = []     # jagged eq1 chains (unbound z), merged
+    jag_eq_wits: list = []     # jagged eq1 chains, merged
+    jag_eq_fixed: list = []
     jag_eq_chip = None
     jag_global = 0
+    # PCS query-phase chips (FS mode, jagged-basefold params): shared
+    # collector across all openings of all proofs
+    pcs_col = None
+    bind_eqrows = None
+    pcs_on = bool(fs and params is not None and params.jagged
+                  and params.pcs_kind == "basefold")
+    cl_col = None
+    scalar_regs = []
+    if fs:
+        from ..gkr import claim_link as CL
+
+        bind_eqrows = R._EqRowsCollector()
+        cl_col = CL.ClaimLinkCollector(CL.ClaimLinkChips())
+    if pcs_on:
+        from ..gkr import pcs_verify as PV
+
+        pcs_col = PV.PcsCollector(PV.build_pcs_verify_chips(params.pow_bits))
+    PCS_SC_BASE = 1 << 27      # opening sumcheck / eq-chain id namespace
 
     def emit(name, compiled, cb, wit, fixed=None):
         if fs:
@@ -169,12 +235,25 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     # -- tower groups (global group index across proofs) -----------------------
     cm = R.build_class_main_verify_chips(bind=fs)
     cm_wits = {k: [] for k in ("prod", "term", "slot", "chip", "final")}
-    cm_fixed = {"prod": [], "chip": []}
+    cm_fixed = {"prod": [], "chip": [], "term": []}
     tid = sid = cidx = 0
     g_global = 0
     class_global = 0
     for p, cap in enumerate(caps):
-        for (n_t, entries, tproof, tstate) in cap.get("towers", []):
+        z_cid_map: dict = {}   # claim-point bytes -> list of challenge cids
+        scalar_reg = None
+        if fs:
+            from ..gkr import claim_link as CL
+
+            n_pv = len(cap["pv"])
+            scalar_reg = CL.ScalarRegistry(
+                shared_reg, cap["chal_cids"], cap["challenges"], cap["pv"],
+                pv_map=lambda i, _p=p, _n=n_pv: digest_len + _p * _n + i,
+                nid_base=p << 20,
+            )
+            scalar_regs.append(scalar_reg)
+        for gi, (n_t, entries, tproof, tstate) in enumerate(
+                cap.get("towers", [])):
             g = g_global
             g_global += 1
             rho = chiplib.interleave_geometry(entries[0][0])[0]
@@ -185,8 +264,14 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
             chips = R.build_tower_verify_chips(s_p, s_l, n_tv,
                                                sc_base=sc_base, bind=fs)
             fx: dict = {}
-            rw, bw, qw, ew, _rc = R.assign_tower_verify(
+            rw, bw, qw, ew, rec_claims = R.assign_tower_verify(
                 chips, [tproof], tstate, inst0=g, fixed_out=fx)
+            if fs:
+                CL.link_tower_group(
+                    cl_col, tstate, entries, rec_claims,
+                    fx["rt"][0], fx["rt_cids"][0], g,
+                    cap["tower_vctxs"][gi],
+                )
             if rw.shape[1]:
                 sc_cols = {name: rw[j] for j, name in
                            enumerate(chips.rounds_cb.wit_names)}
@@ -210,24 +295,61 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
             j = class_global
             class_global += 1
             fx = {}
+            cidx_base = cidx
             pw, tw, sw, cw, fw, sc_cols, deg = R.assign_class_main_verify(
                 cm, vctxs, cproof, cap["pv"], cap["challenges"], tstate,
                 class_id=CLASS_SC_BASE + j, tid0=tid, sid0=sid, cidx0=cidx,
-                fixed_out=fx,
+                fixed_out=fx, scalar_reg=scalar_reg,
             )
             tid += tw.shape[1]
             sid += sw.shape[1]
             cidx += cw.shape[1]
+            if fs:
+                z_cid_map[np.ascontiguousarray(
+                    fx["point"], np.uint64).tobytes()] = fx["point_cids"]
+                for i, v in enumerate(vctxs):
+                    CL.link_class_chip(
+                        cl_col, v, cidx_base + i, fx["chip_sid0"][i],
+                        fx["point"], fx["point_cids"], bind_eqrows,
+                        shared_reg,
+                    )
             for key, w in (("prod", pw), ("term", tw), ("slot", sw),
                            ("chip", cw), ("final", fw)):
                 cm_wits[key].append(w)
             if fs:
                 cm_fixed["prod"].append(fx["prod"])
                 cm_fixed["chip"].append(fx["chips"])
+                cm_fixed["term"].append(fx["terms"])
             add_rounds(deg, sc_cols, vctxs[0].n_vars)
 
+        if fs:
+            # EC-sum stage challenge registration: the quark verify's
+            # transcript interactions become challenge-table / absorbed-ext
+            # rows so the jagged claims at the EC extended points bind their
+            # coordinates (the EC CHECKS themselves are a later stage).
+            for (_name, ecp, _fsum, tstate) in cap.get("ec", []):
+                _register_ec_stage(ecp, tstate, z_cid_map, shared_reg)
+            # commitment-root + num_instances absorb binding
+            chain = chains[p]
+            jag_caps = cap.get("jagged", [])
+            if jag_caps and jag_caps[0][4][0] == "absorbed" \
+                    and "wit_root_slots" in cap:
+                root = np.asarray(jag_caps[0][4][1], np.uint64)
+                slots = cap["wit_root_slots"]
+                rc0 = chain.register_absorbed_ext(slots[0], root[:4])
+                rc1 = chain.register_absorbed_ext(slots[4], root[4:])
+                cap["_root_cids"] = (rc0, rc1)
+            if pcs_on and "ninst_slots" in cap:
+                ninst = proof_specs[p][0].num_instances
+                for slot, k in zip(cap["ninst_slots"], ninst):
+                    cid = chain.register_absorbed_base(slot, int(k) % bb.P)
+                    shared_reg.use(cid)
+                    pcs_col.w["cbind"].add(d=0)
+                    pcs_col.f["cbind"].add(cid=cid, val=int(k) % bb.P)
+
         # -- jagged translation stages (one per opening, in verify order) -------
-        for (jl, jclaims, jopening, tstate) in cap.get("jagged", []):
+        for (jl, jclaims, jopening, tstate, root_info) in cap.get("jagged",
+                                                                  []):
             jid = JAG_SC_BASE + jag_global
             cidb = JAG_EQ_BASE + jag_global * JAG_EQ_STRIDE
             log_r = jl.n_r.bit_length() - 1
@@ -237,14 +359,42 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
             rows_w, claims_w, final_w, sc_cols = R.assign_jagged_verify(
                 jchips, jl, jclaims, jopening, tstate,
                 jid=jid, cid_base=cidb, fixed_out=fx,
+                z_cid_map=z_cid_map if fs else None,
             )
             jag_eq_wits.append(rows_w)
+            if fs:
+                jag_eq_fixed.append(fx["rows"])
             jag_eq_chip = (jchips.rows_compiled, jchips.rows_cb)
             emit(f"jag_{jag_global}_claims", jchips.claims_compiled,
                  jchips.claims_cb, claims_w, fx.get("claims"))
             emit(f"jag_{jag_global}_final", jchips.final_compiled,
                  jchips.final_cb, final_w)
             add_rounds(2, sc_cols, log_r)
+            if pcs_on:
+                # the PCS query phase of this opening, in-circuit
+                from ..gkr import pcs_verify as PV
+
+                geo = PV.PcsGeo(
+                    n_vars=log_r, n_cols=jl.n_mat_cols,
+                    blowup_log=params.blowup_log,
+                    stop_size=params.stop_size,
+                    pow_bits=params.pow_bits,
+                    n_queries=params.n_queries,
+                )
+                if root_info[0] == "absorbed":
+                    root_bind = ("lk", cap["_root_cids"])
+                else:
+                    root_bind = ("fixed",
+                                 np.asarray(root_info[1], np.uint64))
+                osc = PCS_SC_BASE + jag_global
+                psc = PV.assign_pcs_query_verify(
+                    pcs_col, geo, jopening.opening,
+                    np.asarray(jopening.v_evals, np.uint64),
+                    fx["vcids"], fx["point_cids"],
+                    np.asarray(fx["point"], np.uint64),
+                    root_bind, tstate, bind_eqrows, osc,
+                )
+                add_rounds(2, psc, log_r)
             jag_global += 1
     for key, cbn, compiled in (
         ("prod", cm.prod_cb, cm.prod_compiled),
@@ -262,13 +412,30 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
                 emit(f"cm_{key}", compiled, cbn, wit, fixed)
 
     # -- merged eq1-chain rows chips ------------------------------------------
+    if fs and bind_eqrows.cid:
+        # the PCS / claim-link eq chains share the bound eq-rows chip
+        if eqrows_chip is None:
+            ecb, ecomp = R.build_eq_rows_chip(bind=True)
+            eqrows_chip = (ecomp, ecb)
+        eqrows_wits.append(bind_eqrows.materialize(eqrows_chip[1]))
+        eqrows_fixed.append(bind_eqrows.materialize_fixed())
     if eqrows_wits:
         emit("eq_rows", eqrows_chip[0], eqrows_chip[1],
              np.concatenate(eqrows_wits, axis=1),
              np.concatenate(eqrows_fixed, axis=1) if fs else None)
     if jag_eq_wits:
         emit("jag_eq_rows", jag_eq_chip[0], jag_eq_chip[1],
-             np.concatenate(jag_eq_wits, axis=1))
+             np.concatenate(jag_eq_wits, axis=1),
+             np.concatenate(jag_eq_fixed, axis=1) if fs else None)
+    if pcs_on:
+        for pset in pcs_col.emit():
+            sets.append(pset)
+    if fs:
+        for cset in cl_col.emit():
+            sets.append(cset)
+        for sr in scalar_regs:
+            for cset in sr.emit(cl_col.chips):
+                sets.append(cset)
 
     # -- merged sumcheck rounds chips (one per degree) --------------------------
     for deg, wits in sorted(rounds_by_deg.items()):
@@ -539,7 +706,14 @@ def verify_chipset(key: AggKey, proof: AggProof, *,
         layout.setdefault(h, []).append((i, off, key.chips[i][1].n_wit))
     jl, slice_base = scheme._jagged_plan(layout)
 
+    if capture is not None and hasattr(t, "absorb_slots_of_next"):
+        capture["wit_root_slots"] = t.absorb_slots_of_next(8)
     t.append(proof.witness_root)
+    if capture is not None and hasattr(t, "absorb_slots_of_next"):
+        capture["ninst_slots"] = [
+            t.absorb_slots_of_next(i + 1)[i]
+            for i in range(len(proof.num_instances))
+        ]
     for k in proof.num_instances:
         t.append([int(k) % bb.P])
     if capture is not None:
@@ -572,6 +746,10 @@ def verify_chipset(key: AggKey, proof: AggProof, *,
             [entries_all[i] for i in members],
             proof.tower_groups[n_t], pv, challenges, t,
         )
+        if capture is not None:
+            capture.setdefault("tower_vctxs", []).append(
+                [r[0] for r in results]
+            )
         for i, (vctx, prod_values, logup_fracs) in zip(members, results):
             compiled = key.chips[i][1]
             vctxs[i] = vctx
@@ -640,7 +818,8 @@ def verify_chipset(key: AggKey, proof: AggProof, *,
     claims = _agg_jagged_claims(layout, slice_base, openings)
     if capture is not None:
         capture.setdefault("jagged", []).append(
-            (jl, claims, proof.witness_opening, t.clone())
+            (jl, claims, proof.witness_opening, t.clone(),
+             ("absorbed", proof.witness_root))
         )
     jagged.verify_jagged(
         proof.witness_root, jl, claims, proof.witness_opening, t, key.params,
@@ -793,6 +972,7 @@ def prove_chipset_aggregation(key: AggKey, aproofs: list, params=None):
         verify_fn=lambda proof, cap, t, **kw: verify_chipset(
             key, proof, capture=cap, transcript=t),
         label=LABEL_AGG, digest_len=len(key.digest_elems()),
+        params=key.params,
     )
     chips = _agg_chips_from_sets(sets, fs=True)
     pv = np.concatenate(

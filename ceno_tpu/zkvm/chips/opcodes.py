@@ -17,6 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ...fields import babybear as bb
+from . import field_ctx
 from ...gkr.circuit_builder import CircuitBuilder, LK_SHL, LK_RANGE4
 from ...gkr.chip import compile_chip, CompiledChip
 from ...mle import expression as E
@@ -160,7 +161,8 @@ class ChipDef:
         out = np.zeros((len(self.cb.wit_names), max(pad_to, n)), np.uint64)
         for i, name in enumerate(self.cb.wit_names):
             if name in cols:
-                out[i, :n] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+                out[i, :n] = np.asarray(cols[name], np.uint64) % np.uint64(
+                    field_ctx.P)
         missing = set(self.cb.wit_names) - set(cols)
         extra = set(cols) - set(self.cb.wit_names)
         assert not missing, f"{self.name}: unassigned cols {missing}"
@@ -185,7 +187,11 @@ def _batch_inv(v: np.ndarray) -> np.ndarray:
     n = len(v)
     if n == 0:
         return np.zeros(0, np.uint64)
-    p = np.uint64(bb.P)
+    p = np.uint64(field_ctx.P)
+    if field_ctx.INV is not None:
+        # non-BabyBear field: uint64 products below would overflow
+        w = np.where(v == 0, np.uint64(1), v % p)
+        return np.where(v == 0, np.uint64(0), field_ctx.INV(w))
     w = np.where(v == 0, np.uint64(1), v % p)
 
     def _scan(x):  # inclusive prefix products mod p, O(log n) passes
@@ -198,7 +204,7 @@ def _batch_inv(v: np.ndarray) -> np.ndarray:
 
     pref = _scan(w)
     suff = _scan(w[::-1])[::-1]
-    total_inv = np.uint64(pow(int(pref[-1]), bb.P - 2, bb.P))
+    total_inv = np.uint64(pow(int(pref[-1]), field_ctx.P - 2, field_ctx.P))
     left = np.concatenate([np.ones(1, np.uint64), pref[:-1]])
     right = np.concatenate([suff[1:], np.ones(1, np.uint64)])
     out = left * right % p * total_inv % p
@@ -254,7 +260,7 @@ def encode_imm_vec(kind: int, imm: np.ndarray):
         v = (imm.astype(np.int64) >> 12) & 0xFFFFF
         return (v & MASK16).astype(np.uint64), (v >> 16).astype(np.uint64), v.astype(np.uint64)
     u32 = imm.astype(np.int64) & 0xFFFFFFFF
-    field = imm.astype(np.int64) % bb.P
+    field = field_ctx.enc_signed(imm)
     return (
         (u32 & MASK16).astype(np.uint64),
         ((u32 >> 16) & MASK16).astype(np.uint64),
@@ -267,7 +273,7 @@ def encode_imm(kind, imm):
         v = (imm >> 12) & 0xFFFFF
         return v & MASK16, v >> 16, v
     u32 = imm & 0xFFFFFFFF
-    field = imm % bb.P
+    field = imm % field_ctx.P
     return u32 & MASK16, (u32 >> 16) & MASK16, field
 
 
@@ -404,9 +410,9 @@ def _branch_chip(name: str, kind: int, on_eq: bool) -> ChipDef:
         cols.update({"imm_lo": il, "imm_hi": ih, "imm_f": iff})
         a = v.rs1_val.astype(np.uint64)
         b = v.rs2_val.astype(np.uint64)
-        for nm, d in (("eq_lo", (a & MASK16) + bb.P - (b & MASK16)),
-                      ("eq_hi", (a >> 16) + bb.P - (b >> 16))):
-            d = d % np.uint64(bb.P)
+        for nm, d in (("eq_lo", (a & MASK16) + field_ctx.P - (b & MASK16)),
+                      ("eq_hi", (a >> 16) + field_ctx.P - (b >> 16))):
+            d = d % np.uint64(field_ctx.P)
             cols[f"{nm}_z"] = (d == 0).astype(np.uint64)
             cols[f"{nm}_inv"] = _batch_inv(d)
         return cols

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ...fields import babybear as bb
+from . import field_ctx
 from ...gkr.circuit_builder import (
     CircuitBuilder, LK_SHL, LK_SRL, LK_POW2, LK_AND8, LK_OR8, LK_XOR8,
     RAM_MEMORY,
@@ -164,7 +165,7 @@ def _cmp_witgen(name, a, b, signed):
         adj_a, adj_b = a_hi, b_hi
     cols[f"{name}_hi_lt"] = (adj_a < adj_b).astype(np.uint64)
     cols[f"{name}_lo_lt"] = (a_lo < b_lo).astype(np.uint64)
-    d = (adj_a.astype(np.int64) - adj_b.astype(np.int64)) % bb.P
+    d = field_ctx.enc_signed(adj_a.astype(np.int64) - adj_b.astype(np.int64))
     cols[f"{name}_eqhi_z"] = (d == 0).astype(np.uint64)
     cols[f"{name}_eqhi_inv"] = _batch_inv(d.astype(np.uint64))
     return cols

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...fields import babybear as bb
+from . import field_ctx
 from ...gkr.circuit_builder import CircuitBuilder
 from ...gkr.chip import compile_chip
 from ...mle import expression as E
@@ -338,7 +339,7 @@ def _div_chip(kind_name: str) -> ChipDef:
         b_lo_, b_hi_ = ab & MASK16, ab >> 16
         cols["rb_hi_lt"] = (r_hi_ < b_hi_).astype(np.uint64)
         cols["rb_lo_lt"] = (r_lo_ < b_lo_).astype(np.uint64)
-        d = (r_hi_.astype(np.int64) - b_hi_.astype(np.int64)) % bb.P
+        d = field_ctx.enc_signed(r_hi_.astype(np.int64) - b_hi_.astype(np.int64))
         cols["rb_eqhi_z"] = (d == 0).astype(np.uint64)
         cols["rb_eqhi_inv"] = _batch_inv(d.astype(np.uint64))
         if signed:

@@ -585,12 +585,18 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         jl_w, wslice = _jagged_plan(wit_layout)
         if set(proof.witness_roots) != {jl_w.n_r}:
             raise ZKVMError("jagged proof must carry exactly one witness root")
+        if capture is not None and hasattr(t, "absorb_slots_of_next"):
+            capture["wit_root_slots"] = t.absorb_slots_of_next(8)
         t.append(proof.witness_roots[jl_w.n_r])
     else:
         for h in sorted(wit_layout):
             if h not in proof.witness_roots:
                 raise ZKVMError(f"missing witness root for height {h}")
             t.append(proof.witness_roots[h])
+    if capture is not None and hasattr(t, "absorb_slots_of_next"):
+        capture["ninst_slots"] = [
+            t.absorb_slots_of_next(i + 1)[i] for i in range(len(vk.metas))
+        ]
     for ci in range(len(vk.metas)):
         t.append([proof.num_instances[ci] % bb.P])
 
@@ -632,6 +638,10 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         results = chiplib.verify_group_towers(
             entries, proof.tower_groups[n_t], pv, challenges, t
         )
+        if capture is not None:
+            capture.setdefault("tower_vctxs", []).append(
+                [r[0] for r in results]
+            )
         for ci, (vctx, prod_values, logup_fracs) in zip(members, results):
             meta = vk.metas[ci]
             vctxs[ci] = vctx
@@ -685,6 +695,9 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             raise ZKVMError(f"{meta.name}: missing ec proof")
         if ecp.num_instances != k or ecp.n_vars != heights[ci].bit_length() - 2:
             raise ZKVMError(f"{meta.name}: ec proof geometry mismatch")
+        if capture is not None:
+            capture.setdefault("ec", []).append((meta.name, ecp, fsum,
+                                                 t.clone()))
         rt, evals = eccquark.verify_ec_sum(ecp, fsum, t)
         pts = _ec_extended_points(rt)
         rows = []
@@ -709,7 +722,8 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         claims = _jagged_claims(wit_layout, wslice, openings, extra_rows)
         if capture is not None:
             capture.setdefault("jagged", []).append(
-                (jl_w, claims, proof.witness_openings[jl_w.n_r], t.clone())
+                (jl_w, claims, proof.witness_openings[jl_w.n_r], t.clone(),
+                 ("absorbed", proof.witness_roots[jl_w.n_r]))
             )
         jagged.verify_jagged(
             proof.witness_roots[jl_w.n_r], jl_w, claims,
@@ -728,7 +742,8 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
         )
         if capture is not None:
             capture.setdefault("jagged", []).append(
-                (jl_f, fclaims, proof.fixed_openings[jl_f.n_r], t.clone())
+                (jl_f, fclaims, proof.fixed_openings[jl_f.n_r], t.clone(),
+                 ("fixed", vk.fixed_roots[jl_f.n_r]))
             )
         jagged.verify_jagged(
             vk.fixed_roots[jl_f.n_r], jl_f, fclaims,

@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..fields import babybear as bb
+from .chips import field_ctx
 from ..gkr.circuit_builder import (
     CircuitBuilder,
     StructuralSpec,
@@ -72,7 +73,7 @@ class TableDef:
         cols = self.assign_fn(ctx)
         out = np.zeros((len(self.cb.wit_names), self.n_rows), np.uint64)
         for i, name in enumerate(self.cb.wit_names):
-            out[i] = np.asarray(cols[name], np.uint64) % np.uint64(bb.P)
+            out[i] = np.asarray(cols[name], np.uint64) % np.uint64(field_ctx.P)
         return out
 
 

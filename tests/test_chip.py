@@ -8,6 +8,7 @@ balance exactly like the zkVM's bus.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ceno_tpu.fields import babybear as bb
@@ -136,6 +137,7 @@ def _prove_both():
     return proofs, challenges, (ca, cc, ct)
 
 
+@pytest.mark.slow
 def test_chip_prove_verify_roundtrip():
     proofs, challenges, _ = _prove_both()
     tv = Transcript(b"chip-test")

@@ -206,6 +206,7 @@ def test_bn254_guest_mock_satisfied():
     assert errs == [], errs[:5]
 
 
+@pytest.mark.slow
 def test_secp_e2e_proves_and_verifies():
     vm = VMState(make_program(assemble(SECP_GUEST, ROM), ROM), ROM)
     res = run_e2e(vm, CFG, PARAMS)

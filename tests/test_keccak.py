@@ -111,6 +111,7 @@ def test_keccak_wrong_output_unsatisfied():
     assert errs, "tampered keccak output must be caught"
 
 
+@pytest.mark.slow
 def test_keccak_e2e_proves_and_verifies():
     vm, _ = _run_guest()
     vm2 = VMState(make_program(assemble(GUEST, ROM), ROM), ROM)

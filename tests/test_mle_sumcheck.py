@@ -1,6 +1,7 @@
 """MLE ops and sumcheck prove/verify roundtrips against brute-force sums."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ceno_tpu.fields import babybear as bb
@@ -187,6 +188,7 @@ def test_sumcheck_fused_matches_unfused(monkeypatch):
     np.testing.assert_array_equal(un.point, fu.point)
 
 
+@pytest.mark.slow
 def test_sumcheck_fused_head_rounds_match(monkeypatch):
     """Unrolled-head + scan-stage split must stay byte-identical to the
     per-round path at every head depth."""

@@ -75,6 +75,7 @@ def test_prog_data_e2e_single_shard():
     assert verify(res.pk.vk, res.proof)
 
 
+@pytest.mark.slow
 def test_prog_data_sharded():
     prog, vm = _guest()
     records = vm.run()

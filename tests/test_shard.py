@@ -161,6 +161,7 @@ def test_cost_model_planner_weighs_keccak():
     )
 
 
+@pytest.mark.slow
 def test_sharded_keccak_guest_proves():
     from ceno_tpu.emulator.rv32im import assemble
     from ceno_tpu.emulator.state import VMState, make_program, Platform
@@ -186,6 +187,7 @@ def test_sharded_keccak_guest_proves():
     assert verify_shards(pk.vk, sproof)
 
 
+@pytest.mark.slow
 def test_pipelined_matches_sequential(sharded_result):
     """P4 pipeline (witgen thread overlapping device prove) is transcript-
     neutral: proofs are identical to the sequential path."""

@@ -2,6 +2,7 @@
 byte-identical proofs to the single-device prover."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def _dev_ext(n_vars):
     )
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(monkeypatch):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     monkeypatch.setattr(host_impl, "HOST_N", 64)

@@ -2,6 +2,7 @@
 must produce byte-identical proofs to the single-device prover."""
 
 import numpy as np
+import pytest
 
 from ceno_tpu.emulator import programs
 from ceno_tpu.hash.transcript import Transcript
@@ -26,6 +27,7 @@ def _assigned_chip(name: str):
     return a, pv
 
 
+@pytest.mark.slow
 def test_full_chip_prove_sharded_matches_single_device():
     a, pv = _assigned_chip("add")
     assert a.num_instances > 8
@@ -56,6 +58,7 @@ def test_full_chip_prove_sharded_matches_single_device():
     assert np.array_equal(single_open.point, multi_open.point)
 
 
+@pytest.mark.slow
 def test_sharded_chip_verifies():
     a, pv = _assigned_chip("addi")
     n = a.wit.shape[1]

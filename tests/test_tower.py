@@ -1,6 +1,7 @@
 """Tower product/logup prove+verify roundtrips vs brute force."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ceno_tpu.fields import babybear as bb
@@ -113,6 +114,7 @@ def test_tampered_tower_rejected():
         pass
 
 
+@pytest.mark.slow
 def test_fused_tower_levels_byte_identical(monkeypatch):
     """The single-program multi-level tower (CENO_TPU_FUSED_TOWER) must be
     byte-identical to the per-level path."""

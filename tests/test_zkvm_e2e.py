@@ -115,6 +115,7 @@ def test_hinted_fibonacci_proves_and_verifies():
     assert verify(res.pk.vk, res.proof)
 
 
+@pytest.mark.slow
 def test_example_guests_prove():
     """The examples/ guests (reference examples mirror) prove end-to-end."""
     from ceno_tpu.emulator.rv32im import assemble
@@ -159,6 +160,7 @@ def test_example_guests_prove():
     assert verify(res.pk.vk, res.proof)
 
 
+@pytest.mark.slow
 def test_hashing_guest_commits_digest():
     """examples/hashing.s: keccak syscall + PUB_IO commit of the state."""
     from ceno_tpu.emulator.rv32im import assemble

@@ -2,6 +2,7 @@
 validated via the emulator + MockProver (constraints + bus balance)."""
 
 import numpy as np
+import pytest
 
 from ceno_tpu.emulator import rv32im
 from ceno_tpu.emulator.state import VMState, make_program, Platform
@@ -131,6 +132,7 @@ def test_torture_executes_correctly():
     assert vm.regs[12] == 0                                  # overflow rem a2
 
 
+@pytest.mark.slow
 def test_torture_proves_and_verifies():
     from ceno_tpu.pcs.basefold import BasefoldParams
     from ceno_tpu.zkvm.e2e import run_e2e
