@@ -476,6 +476,24 @@ class ScalarRegistry:
         cid, _v = self._node(expr)
         return cid
 
+    def pv_cid(self, idx: int) -> int:
+        """Lookup-table cid of the pv leaf at SHARD pv index ``idx``.
+        Callers with TEMPORARY Instance objects must use this instead of
+        cid_of: the structural memo is id()-keyed and assumes persistent
+        expression objects (the compiled chips' scalars)."""
+        return self.pv_node(idx)[0]
+
+    def pv_node(self, idx: int):
+        agg_idx = self.pv_map(idx)
+        hit = self.pv_memo.get(agg_idx)
+        if hit is not None:
+            return hit
+        cid = self.reg.alloc_cid()
+        self.pv_entries.append((cid, agg_idx))
+        v = exth.from_base(np.uint64(int(self.instances[idx]) % bb.P))
+        self.pv_memo[agg_idx] = (cid, v)
+        return cid, v
+
     def value_of(self, expr) -> np.ndarray:
         _c, v = self._node(expr)
         return v
@@ -503,15 +521,7 @@ class ScalarRegistry:
             v = exth.pow_int(self.challenges[e.cid], e.power)
             return self._pow_cid(e.cid, e.power), v
         if isinstance(e, E.Instance):
-            agg_idx = self.pv_map(e.idx)
-            hit = self.pv_memo.get(agg_idx)
-            if hit is not None:
-                return hit
-            cid = reg.alloc_cid()
-            self.pv_entries.append((cid, agg_idx))
-            v = exth.from_base(np.uint64(int(self.instances[e.idx]) % bb.P))
-            self.pv_memo[agg_idx] = (cid, v)
-            return cid, v
+            return self.pv_node(e.idx)
         if isinstance(e, E.Neg):
             children = [(bb.P - 1, e.inner)]
             return self._chain(children, prod=False)
@@ -824,15 +834,29 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
         col.f["mtr"].add(eqcid=eqcid, rho=rho, acid=acid)
 
     # -- sel-eq ---------------------------------------------------------------
-    point = np.asarray(class_point, np.uint64)
+    emit_sel_eq(col, cidx, info.x_star, info.x_cids,
+                np.asarray(class_point, np.uint64), class_point_cids, k,
+                n_vars, eqrows, reg)
+
+
+def emit_sel_eq(col: ClaimLinkCollector, seq_key: int, z_vals, z_cids,
+                point, point_cids, k: int, n_vars: int, eqrows, reg):
+    """Emit the masked sel_eq_eval(z, point, k) chains, writing the result
+    to (Seq, seq_key). Shared by the class-main claim link and the EC-quark
+    verify's QuarkBinaryTreeLessThan inner evaluations."""
     from .chip import sel_eq_eval
 
-    expect = sel_eq_eval(info.x_star, point, k)
+    one = exth.one()
+    info_x_star = z_vals
+    info_x_cids = z_cids
+    class_point_cids = point_cids
+    cidx = seq_key
+    expect = sel_eq_eval(np.asarray(z_vals, np.uint64), point, k)
     if k >= (1 << n_vars):
         eqcid = SEQ_EQ_BASE + col.next_seq_eq
         col.next_seq_eq += 1
-        v = eqrows.chain(eqcid, info.x_star, point,
-                         z_cids=info.x_cids, r_cids=class_point_cids,
+        v = eqrows.chain(eqcid, np.asarray(z_vals, np.uint64), point,
+                         z_cids=z_cids, r_cids=point_cids,
                          reg=reg)
         assert np.array_equal(v, expect)
         col.w["sqf"].add(cidx=cidx)
@@ -843,7 +867,7 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
         pre = one.copy()
         for s in range(n_vars):
             jj = n_vars - 1 - s
-            rt = info.x_star[jj]
+            rt = info_x_star[jj]
             pt = point[jj]
             kb = (k >> jj) & 1
             rp = exth.mul(rt, pt)
@@ -854,9 +878,9 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
             col.w[key].ext("pt", pt)
             col.w[key].ext("pre", pre)
             col.w[key].ext("rp", rp)
-            col.f[key].add(jbit=jj, rtcid=info.x_cids[jj],
+            col.f[key].add(jbit=jj, rtcid=info_x_cids[jj],
                            ptcid=class_point_cids[jj])
-            reg.use(info.x_cids[jj])
+            reg.use(info_x_cids[jj])
             reg.use(class_point_cids[jj])
             if kb:
                 ct = exth.mul(pre, b0)
@@ -874,7 +898,7 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
         cterms = {}
         for s in range(n_vars):
             jj = n_vars - 1 - s
-            rt, pt = info.x_star[jj], point[jj]
+            rt, pt = info_x_star[jj], point[jj]
             kb = (k >> jj) & 1
             rp = exth.mul(rt, pt)
             b0 = exth.add(exth.sub(exth.sub(one, rt), pt), rp)
@@ -884,7 +908,7 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
             else:
                 pre2 = exth.mul(pre2, b0)
         for jj in range(n_vars):
-            rt, pt = info.x_star[jj], point[jj]
+            rt, pt = info_x_star[jj], point[jj]
             kb = (k >> jj) & 1
             rp = exth.mul(rt, pt)
             aj = exth.add(exth.add(exth.sub(exth.sub(one, rt), pt), rp), rp)
@@ -896,9 +920,9 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
             col.w[key].ext("res", res)
             col.w[key].ext("rp", rp)
             col.w[key].ext("ln", exth.mul(low, aj))
-            col.f[key].add(jbit=jj, rtcid=info.x_cids[jj],
+            col.f[key].add(jbit=jj, rtcid=info_x_cids[jj],
                            ptcid=class_point_cids[jj])
-            reg.use(info.x_cids[jj])
+            reg.use(info_x_cids[jj])
             reg.use(class_point_cids[jj])
             if kb:
                 ct = cterms[jj]

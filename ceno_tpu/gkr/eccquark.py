@@ -145,24 +145,27 @@ def _selector_vectors(out_rt: np.ndarray, num_instances: int, n: int):
     return sel_add, sel_bypass, sel_export
 
 
-def _build_terms(alphas: np.ndarray, final_sum: np.ndarray):
-    """TermSpec list over base cols [s(7), x0(7), y0(7), x1(7), y1(7),
-    x3(7), y3(7)] and ext cols [sel_add, sel_bypass, sel_export]."""
+def _term_schedule():
+    """The batched-constraint term table as pure STRUCTURE:
+    (alpha_index, base_coeff, base_cols, selector, fsum_ref) — fsum_ref is
+    (row, c) for the export constants, whose scalar is
+    alphas[ai] * coeff * final_sum[row][c]. _build_terms materializes
+    TermSpecs from this; the recursion EC-verify chips consume it as key
+    schedule (gkr/ec_verify.py)."""
     S0, X0, Y0, X1, Y1, X3, Y3 = (0, 7, 14, 21, 28, 35, 42)
     SEL_ADD, SEL_BYP, SEL_EXP = 0, 1, 2
-    terms: list[TermSpec] = []
-    ai = 0
+    sched = []
+    ai = [0]
 
     def alpha():
-        nonlocal ai
-        a = alphas[ai]
-        ai += 1
+        a = ai[0]
+        ai[0] += 1
         return a
 
-    def t(scalar, cols, sel):
-        terms.append(TermSpec(scalar, bidx=tuple(cols), eidx=(sel,)))
+    def t(a, coeff, cols, sel, fsum_ref=None):
+        sched.append((a, coeff % bb.P, tuple(cols), sel, fsum_ref))
 
-    neg1 = np.uint64(bb.P - 1)
+    neg1 = bb.P - 1
     # add group 1: s*(x0-x1) - (y0-y1), component c
     for c in range(DEG):
         a = alpha()
@@ -171,11 +174,10 @@ def _build_terms(alphas: np.ndarray, final_sum: np.ndarray):
                 for comp, cf in _MUL_TABLE[i][k]:
                     if comp != c:
                         continue
-                    sc = exth.mul_base(a, np.uint64(cf))
-                    t(sc, (S0 + i, X0 + k), SEL_ADD)
-                    t(exth.mul_base(sc, neg1), (S0 + i, X1 + k), SEL_ADD)
-        t(exth.mul_base(a, neg1), (Y0 + c,), SEL_ADD)
-        t(a, (Y1 + c,), SEL_ADD)
+                    t(a, cf, (S0 + i, X0 + k), SEL_ADD)
+                    t(a, cf * neg1, (S0 + i, X1 + k), SEL_ADD)
+        t(a, neg1, (Y0 + c,), SEL_ADD)
+        t(a, 1, (Y1 + c,), SEL_ADD)
     # add group 2: s^2 - x0 - x1 - x3
     for c in range(DEG):
         a = alpha()
@@ -183,9 +185,9 @@ def _build_terms(alphas: np.ndarray, final_sum: np.ndarray):
             for k in range(DEG):
                 for comp, cf in _MUL_TABLE[i][k]:
                     if comp == c:
-                        t(exth.mul_base(a, np.uint64(cf)), (S0 + i, S0 + k), SEL_ADD)
+                        t(a, cf, (S0 + i, S0 + k), SEL_ADD)
         for col in (X0 + c, X1 + c, X3 + c):
-            t(exth.mul_base(a, neg1), (col,), SEL_ADD)
+            t(a, neg1, (col,), SEL_ADD)
     # add group 3: s*(x0-x3) - (y0+y3)
     for c in range(DEG):
         a = alpha()
@@ -194,28 +196,37 @@ def _build_terms(alphas: np.ndarray, final_sum: np.ndarray):
                 for comp, cf in _MUL_TABLE[i][k]:
                     if comp != c:
                         continue
-                    sc = exth.mul_base(a, np.uint64(cf))
-                    t(sc, (S0 + i, X0 + k), SEL_ADD)
-                    t(exth.mul_base(sc, neg1), (S0 + i, X3 + k), SEL_ADD)
-        t(exth.mul_base(a, neg1), (Y0 + c,), SEL_ADD)
-        t(exth.mul_base(a, neg1), (Y3 + c,), SEL_ADD)
+                    t(a, cf, (S0 + i, X0 + k), SEL_ADD)
+                    t(a, cf * neg1, (S0 + i, X3 + k), SEL_ADD)
+        t(a, neg1, (Y0 + c,), SEL_ADD)
+        t(a, neg1, (Y3 + c,), SEL_ADD)
     # bypass: x3 - x0, y3 - y0
     for base_out, base_in in ((X3, X0), (Y3, Y0)):
         for c in range(DEG):
             a = alpha()
-            t(a, (base_out + c,), SEL_BYP)
-            t(exth.mul_base(a, neg1), (base_in + c,), SEL_BYP)
+            t(a, 1, (base_out + c,), SEL_BYP)
+            t(a, neg1, (base_in + c,), SEL_BYP)
     # export: x3 - sum.x, y3 - sum.y
     for row, base_out in ((0, X3), (1, Y3)):
         for c in range(DEG):
             a = alpha()
-            t(a, (base_out + c,), SEL_EXP)
-            t(
-                exth.mul_base(a, (bb.P - int(final_sum[row, c])) % bb.P),
-                (),
-                SEL_EXP,
-            )
-    assert ai == alphas.shape[0]
+            t(a, 1, (base_out + c,), SEL_EXP)
+            t(a, neg1, (), SEL_EXP, (row, c))
+    return sched, ai[0]
+
+
+def _build_terms(alphas: np.ndarray, final_sum: np.ndarray):
+    """TermSpec list over base cols [s(7), x0(7), y0(7), x1(7), y1(7),
+    x3(7), y3(7)] and ext cols [sel_add, sel_bypass, sel_export]."""
+    sched, n_alpha = _term_schedule()
+    assert n_alpha == alphas.shape[0]
+    terms: list[TermSpec] = []
+    for a, coeff, cols, sel, fref in sched:
+        cf = coeff
+        if fref is not None:
+            cf = cf * int(final_sum[fref[0], fref[1]]) % bb.P
+        terms.append(TermSpec(exth.mul_base(alphas[a], np.uint64(cf)),
+                              bidx=cols, eidx=(sel,)))
     return terms
 
 

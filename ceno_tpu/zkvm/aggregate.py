@@ -16,9 +16,10 @@ sel_v / term scalars all derived, no free wires), the ENTIRE Fiat-Shamir
 transcript (fs-chain duplex chips; statement absorbs pinned to the
 aggregation pv, commitment roots and num_instances bound), and the PCS
 query phase (gkr/pcs_verify.py: Merkle membership, fold consistency,
-PoW, canonical query sampling). The one stage whose arithmetic is not yet
-chip-ified is the EC-sum quark verify (its transcript interactions ARE
-registered, so its challenges and the EC-point jagged claims are bound).
+PoW, canonical query sampling), and the EC-sum quark verification
+(gkr/ec_verify.py: the septic addition-tree zerocheck, its three analytic
+selectors and the batched-constraint recombination). Every shard-verifier
+stage is chip-ified.
 
 Bus id allocation: tower group g gets SumcheckClaim ids in
 [g*SC_STRIDE, (g+1)*SC_STRIDE) via the build-time sc_base; height class j
@@ -68,33 +69,17 @@ JAG_EQ_BASE = 1 << 26      # EqChain cids: JAG_EQ_BASE + o*JAG_EQ_STRIDE + t
 JAG_EQ_STRIDE = 1 << 16
 
 
-def _register_ec_stage(ecp, t, z_cid_map: dict, reg) -> None:
-    """Replay an EC-sum quark verification's transcript interactions on the
-    cursor ``t``, registering every challenge / absorbed eval so (a) the
-    jagged claims at the EC extended points can bind their coordinates and
-    (b) a later EC-verify chip stage can consume the same cids. The EC
-    arithmetic checks themselves are not yet chip-ified."""
-    from ..gkr.eccquark import DEG
-
+def _ec_point_cids(ecp, ec_sc, z_cid_map: dict, reg) -> None:
+    """Fill the jagged z-cid map for the EC extended points from the
+    zerocheck's registered round-challenge cids (ec_sc['acid'])."""
     n = ecp.n_vars
-    for _ in range(n):
-        t.sample_ext_chal()                 # out_rt batching point
-    t.sample_ext_pows_chal(DEG * 7)         # constraint alphas
-    msgs = np.asarray(ecp.round_msgs, np.uint64)
-    rnd_cids = []
-    chals = np.zeros((n, 4), np.uint64)
-    for rnd in range(n):
-        # plain append (NOT append_slots): no EC chip supplies these absorb
-        # slots yet, so the generic fs_abs supplier must keep covering them
-        t.append(msgs[rnd].ravel())
-        acid, ch = t.sample_ext_chal()
-        rnd_cids.append(acid)
-        chals[rnd] = ch
-    evs = np.asarray(ecp.col_evals, np.uint64)
-    for row in range(evs.shape[0]):
-        t.append_ext_chal(evs[row])
+    acids = [int(a) for a in ec_sc["acid"]]
+    point_cids = acids[::-1]
+    chals = np.stack([
+        np.array([ec_sc[f"alpha_{j}"][r] for j in range(4)], np.uint64)
+        for r in range(n)
+    ])
     rt = chals[::-1].copy()
-    point_cids = rnd_cids[::-1]
     pts = scheme._ec_extended_points(rt)
     czero = reg.const_cid(np.zeros(4, np.uint64))
     cone = reg.const_cid(exth.one())
@@ -201,6 +186,7 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     pcs_on = bool(fs and params is not None and params.jagged
                   and params.pcs_kind == "basefold")
     cl_col = None
+    ec_col = None
     scalar_regs = []
     if fs:
         from ..gkr import claim_link as CL
@@ -323,12 +309,27 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
             add_rounds(deg, sc_cols, vctxs[0].n_vars)
 
         if fs:
-            # EC-sum stage challenge registration: the quark verify's
-            # transcript interactions become challenge-table / absorbed-ext
-            # rows so the jagged claims at the EC extended points bind their
-            # coordinates (the EC CHECKS themselves are a later stage).
-            for (_name, ecp, _fsum, tstate) in cap.get("ec", []):
-                _register_ec_stage(ecp, tstate, z_cid_map, shared_reg)
+            # EC-sum quark verification in-circuit (gkr/ec_verify.py): the
+            # zerocheck rides the shared deg-3 rounds chip, the selector
+            # recurrences/one-hots become chains, the recombination walks
+            # the key term schedule; the stage's challenges also land on
+            # the table so the jagged claims at the EC extended points
+            # bind their coordinates.
+            for (_name, ecp, _fsum, pv_base, tstate) in cap.get("ec", []):
+                if ec_col is None:
+                    from ..gkr import ec_verify as ECV
+
+                    ec_col = ECV.EcVerifyCollector(ECV.EcVerifyChips())
+                fsum_pv_cids = [
+                    [scalar_reg.pv_cid(pv_base + r * 7 + c)
+                     for c in range(7)] for r in range(2)
+                ]
+                ec_sc = ECV.assign_ec_verify(
+                    ec_col, cl_col, tstate, ecp, _fsum, fsum_pv_cids,
+                    bind_eqrows, shared_reg,
+                )
+                add_rounds(3, ec_sc, ecp.n_vars)
+                _ec_point_cids(ecp, ec_sc, z_cid_map, shared_reg)
             # commitment-root + num_instances absorb binding
             chain = chains[p]
             jag_caps = cap.get("jagged", [])
@@ -433,6 +434,9 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     if fs:
         for cset in cl_col.emit():
             sets.append(cset)
+        if ec_col is not None:
+            for cset in ec_col.emit():
+                sets.append(cset)
         for sr in scalar_regs:
             for cset in sr.emit(cl_col.chips):
                 sets.append(cset)

@@ -697,7 +697,7 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             raise ZKVMError(f"{meta.name}: ec proof geometry mismatch")
         if capture is not None:
             capture.setdefault("ec", []).append((meta.name, ecp, fsum,
-                                                 t.clone()))
+                                                 base, t.clone()))
         rt, evals = eccquark.verify_ec_sum(ecp, fsum, t)
         pts = _ec_extended_points(rt)
         rows = []

@@ -332,3 +332,61 @@ def test_claim_link_in_circuit(fib_result):
         errs = MockProver.assert_satisfied(mp(tampered(chip, colname)),
                                            raise_on_error=False)
         assert errs, f"tampering {chip}.{colname} went undetected"
+
+
+@pytest.mark.slow
+def test_ec_verify_in_circuit():
+    """The EC-sum quark verification (cross-shard continuation stage) is
+    chips now: present in a multi-shard aggregation witness, bus-balanced,
+    and tamper-detected."""
+    from ceno_tpu.emulator import programs as progs
+    from ceno_tpu.zkvm.scheme import keygen
+    from ceno_tpu.zkvm.shard import prove_shards
+    from ceno_tpu.zkvm.aggregate import build_aggregation_witness_multi
+
+    vm = progs.fibonacci_vm(12)
+    records = vm.run()
+    pk = keygen(vm.program, CFG, PARAMS)
+    sproof = prove_shards(pk, vm, records, 40)
+    n = len(sproof.proofs)
+    specs = [(p, {"is_first": s == 0, "is_last": s == n - 1,
+                  "standalone": False})
+             for s, p in enumerate(sproof.proofs)]
+    sets, summary = build_aggregation_witness_multi(pk.vk, specs, fs=True)
+    names = [s[0] for s in sets]
+    for expect in ("ecq_term2", "ecq_final", "ecq_sa_end", "ecq_byp",
+                   "ecq_exp"):
+        assert expect in names, f"missing EC verify chip set {expect}"
+    pv = np.concatenate(
+        [pk.vk.digest_elems() % np.uint64(bb.P)]
+        + [np.asarray(p.public_values, np.uint64) % np.uint64(bb.P)
+           for p in sproof.proofs])
+
+    def mp(sets_):
+        out = []
+        for name, compiled, cb, wit, fixed in sets_:
+            k = wit.shape[1]
+            if k == 0:
+                continue
+            w = _pad(wit, k)
+            if fixed is None:
+                f = np.zeros((0, w.shape[1]), np.uint64)
+            else:
+                f = np.pad(np.asarray(fixed, np.uint64),
+                           ((0, 0), (0, w.shape[1] - fixed.shape[1])))
+            out.append((compiled, cb, w, f, pv, k))
+        return out
+
+    assert MockProver.assert_satisfied(mp(sets)) == []
+    # forging the EC recombination must break
+    for chip, colname in (("ecq_final", "fc_0"), ("ecq_sa_end", "v_0"),
+                          ("ecq_term2", "al_0")):
+        bad = []
+        for name, compiled, cb, wit, fixed in sets:
+            if name == chip:
+                wit = wit.copy()
+                j = cb.wit_names.index(colname)
+                wit[j, 0] = (int(wit[j, 0]) + 1) % bb.P
+            bad.append((name, compiled, cb, wit, fixed))
+        errs = MockProver.assert_satisfied(mp(bad), raise_on_error=False)
+        assert errs, f"tampering {chip}.{colname} went undetected"
