@@ -159,6 +159,36 @@ def test_example_guests_prove():
     assert int(res.public_values[4]) == sorted(data[1:])[2]
     assert verify(res.pk.vk, res.proof)
 
+    # hints (examples/hints.rs role): M-extension checksum of hint words
+    src = open("examples/hints.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start
+    )
+    vm = VMState(make_program(assemble(src, rom), rom), rom)
+    data = [5, 123, 9, 77, 65535, 4]
+    for i, w in enumerate(data):
+        vm.init_memory(Platform.hints_start + 4 * i, w)
+    res = run_e2e(vm, CFG, PARAMS)
+    acc = 0
+    for v in data[1:]:
+        acc = (acc * 31 + v) % 65521
+    assert int(res.public_values[4]) == acc & 0xFFFF
+    assert verify(res.pk.vk, res.proof)
+
+    # ceno_rt_mem (examples/ceno_rt_mem.rs role): dynamic heap sweep
+    src = open("examples/ceno_rt_mem.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start
+    )
+    vm = VMState(make_program(assemble(src, rom), rom), rom)
+    n = 7
+    vm.init_memory(Platform.hints_start, n)
+    res = run_e2e(vm, CFG, PARAMS)
+    acc = 0
+    for i in reversed(range(n)):
+        v = 8 * i + 3
+        acc = ((acc ^ v) + v) & 0xFFFF
+    assert int(res.public_values[4]) == acc
+    assert verify(res.pk.vk, res.proof)
+
 
 @pytest.mark.slow
 def test_hashing_guest_commits_digest():
