@@ -207,6 +207,9 @@ def main():
         if os.path.exists(last_good):
             rec = json.load(open(last_good))
             rec["note"] = f"stale (this run failed: {type(e).__name__})"
+            # machine-readable replay marker so the driver/judge can
+            # distinguish a real measurement from a replayed last-good
+            rec["stale"] = True
             print(json.dumps(rec))
             return
         raise

@@ -123,7 +123,9 @@ def main(argv=None):
         key, aproof = prove_aggregation(pk.vk, proof, params=params)
         dt = time.time() - t0
         t0 = time.time()
-        assert verify_aggregation(key, aproof, pk.vk)
+        # key-less verification: the expected key is reconstructed from
+        # (vk, params, the proof's public geometry) — the trust anchor
+        assert verify_aggregation(aproof, pk.vk, params=params)
         data = agg_proof_to_bytes(aproof, params)
         with open(args.out, "wb") as f:
             f.write(data)

@@ -50,6 +50,7 @@ from .circuit_builder import CircuitBuilder, RAM_CUSTOM
 from .recursion import (
     TAG_EQ_CHAIN, TAG_REC_CLAIM, TAG_BC, TAG_MULT, TAG_SEQ,
 )
+from ..utils import replay
 
 _P = np.uint64(bb.P)
 
@@ -789,8 +790,9 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
             col.w[key].ext("sub", sub)
         col.f[key].add(grp=info.group, sj=claim_idx, acid=acid)
         acc = exth.add(acc, t)
-    assert np.array_equal(acc, np.asarray(vctx.batched_claim, np.uint64)), \
-        "claim link: batched claim mismatch"
+    replay.check(np.array_equal(acc, np.asarray(vctx.batched_claim,
+                                                np.uint64)),
+                 "claim link: batched claim mismatch")
     col.w["ble"].add(cidx=cidx)
     col.w["ble"].ext("bc", acc)
     col.f["ble"].add(ncat=len(info.cat_list))
@@ -809,7 +811,7 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
             col.w["mtz"].add(sid=sid)
             col.w["mtz"].ext("al", info.alphas[aoff])
             col.f["mtz"].add(acid=acid)
-            assert np.array_equal(expect, info.alphas[aoff])
+            replay.check(np.array_equal(expect, info.alphas[aoff]))
             continue
         kind = {"prod_r": "r", "prod_w": "w", "lkq": "q",
                 "lkp_table": "p"}[slot.kind]
@@ -826,7 +828,8 @@ def link_class_chip(col: ClaimLinkCollector, vctx, cidx: int, sid0: int,
         w = eqrows.chain(eqcid, info.b_star, bits,
                          z_cids=info.b_cids, r_cids=bit_cids, reg=reg)
         m = exth.mul(info.alphas[aoff], w)
-        assert np.array_equal(m, expect), "claim link: slot mult mismatch"
+        replay.check(np.array_equal(m, expect),
+                     "claim link: slot mult mismatch")
         col.w["mtr"].add(sid=sid)
         col.w["mtr"].ext("w", w)
         col.w["mtr"].ext("al", info.alphas[aoff])
@@ -858,7 +861,7 @@ def emit_sel_eq(col: ClaimLinkCollector, seq_key: int, z_vals, z_cids,
         v = eqrows.chain(eqcid, np.asarray(z_vals, np.uint64), point,
                          z_cids=z_cids, r_cids=point_cids,
                          reg=reg)
-        assert np.array_equal(v, expect)
+        replay.check(np.array_equal(v, expect))
         col.w["sqf"].add(cidx=cidx)
         col.w["sqf"].ext("v", v)
         col.f["sqf"].add(eqcid=eqcid, n=n_vars)
@@ -931,7 +934,8 @@ def emit_sel_eq(col: ClaimLinkCollector, seq_key: int, z_vals, z_cids,
                 col.w[key].ext("cl", cl_)
                 res = exth.add(res, cl_)
             low = exth.mul(low, aj)
-        assert np.array_equal(res, expect), "claim link: sel_eq mismatch"
+        replay.check(np.array_equal(res, expect),
+                     "claim link: sel_eq mismatch")
         col.w["sqe"].add(cidx=cidx)
         col.w["sqe"].ext("pre", pre)
         col.w["sqe"].ext("low", low)

@@ -38,6 +38,7 @@ from .circuit_builder import CircuitBuilder, RAM_CUSTOM
 from .recursion import TAG_EQ_CHAIN, TAG_SUMCHECK_CLAIM, TAG_SEQ
 from .claim_link import _Rows, emit_sel_eq
 from .eccquark import DEG, _term_schedule, pair_counts
+from ..utils import replay
 
 _P = np.uint64(bb.P)
 
@@ -466,8 +467,8 @@ def assign_ec_verify(col: EcVerifyCollector, cl_col, transcript, ecp,
     sel_vals = [sel_add, sel_byp, sel_exp]
     for s_ in range(3):
         acc = exth.add(acc, exth.mul(sel_vals[s_], gacc[s_]))
-    assert np.array_equal(acc, final_claim), \
-        "ec verify witgen: recombination mismatch"
+    replay.check(np.array_equal(acc, final_claim),
+                 "ec verify witgen: recombination mismatch")
     row = {"inst": inst}
     col.w["fin"].add(**row)
     for s_ in range(3):

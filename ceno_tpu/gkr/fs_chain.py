@@ -329,13 +329,14 @@ class ChainTranscript(Transcript):
     rows — only the main pass feeds ``finalize``."""
 
     __slots__ = ("registry", "rows", "abs_vals", "_blk", "_step", "_record",
-                 "step_base")
+                 "step_base", "filled")
 
     def __init__(self, label: bytes | None = None, registry=None,
                  step_base: int = 0):
         self.registry = registry or FsRegistry()
         self.rows = []            # (state_in16, blk8) per permutation
         self.abs_vals = {}        # abs slot idx -> value (all 8 per row)
+        self.filled = set()       # abs slots an append actually wrote
         self._blk = np.zeros(p2.RATE, np.uint64)
         self._step = step_base    # chains share a bus: disjoint step ranges
         self.step_base = step_base
@@ -383,6 +384,7 @@ class ChainTranscript(Transcript):
                 self._pos = 0
             if self._record:
                 self._blk[self._pos] = e % _P
+                self.filled.add(self._step * 8 + self._pos)
             self.state[self._pos] = (self.state[self._pos] + e) % _P
             self._pos += 1
             self._absorbed = True
@@ -598,11 +600,18 @@ class ChainTranscript(Transcript):
         ends_wit = _mat(chips.ends_cb, ecols, 1)
         ends_fixed = np.array([[self.step_base]], np.uint64)
 
-        # absorb suppliers: every slot not claimed by a dedicated chip;
-        # zero-valued ones go to the FIXED-index zero chip
+        # absorb suppliers: every slot not claimed by a dedicated chip.
+        # The split is STRUCTURAL: slots no append ever wrote (block padding
+        # the duplex schedule says is empty) go to the FIXED-index zero chip
+        # — forcing them zero is soundness-critical (a free supplier there
+        # could fork the in-circuit transcript). Absorbed-but-unclaimed
+        # values (zero or not) go to the generic witness supplier. A
+        # value-based split would make the aggregation key depend on proof
+        # VALUES, breaking verifier-side key reconstruction
+        # (zkvm/aggregate.py::expected_agg_key).
         free = sorted(set(self.abs_vals) - reg.claimed_abs)
-        nz = [i for i in free if self.abs_vals[i]]
-        zz = [i for i in free if not self.abs_vals[i]]
+        nz = [i for i in free if i in self.filled]
+        zz = [i for i in free if i not in self.filled]
         abs_wit = _mat(chips.abs_cb, {
             "idx": np.array(nz, np.uint64),
             "v": np.array([self.abs_vals[i] for i in nz], np.uint64),

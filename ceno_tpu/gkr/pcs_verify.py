@@ -54,6 +54,7 @@ from . import gadgets as G
 from .chip import compile_chip
 from .circuit_builder import CircuitBuilder, RAM_CUSTOM
 from .recursion import TAG_MERKLE_PATH, TAG_EQ_CHAIN, TAG_SUMCHECK_CLAIM
+from ..utils import replay
 
 _P = np.uint64(bb.P)
 _INV2 = pow(2, bb.P - 2, bb.P)
@@ -784,7 +785,7 @@ def assign_pcs_query_verify(
         col.w["bsum"].ext("gv", exth.mul(gammas[c], v_evals[c]))
         col.f["bsum"].add(gcid=gcid0 + c, vcid=vcids[c])
         accb = exth.add(accb, exth.mul(gammas[c], v_evals[c]))
-    assert np.array_equal(accb, batched)
+    replay.check(np.array_equal(accb, batched))
 
     # 2. opening sumcheck manual replay with interleaved hook absorbs
     msgs = np.asarray(opening.sumcheck_msgs, np.uint64)
@@ -841,8 +842,8 @@ def assign_pcs_query_verify(
     point_cids = [acids[n_vars - 1 - k] for k in range(n_vars)]
     eq_v = eqrows.chain(osc_id, z_vals, point,
                         z_cids=z_cids, r_cids=point_cids, reg=reg)
-    assert np.array_equal(exth.mul(eq_v, pe), final_claim), \
-        "pcs witgen: opening recombination mismatch"
+    replay.check(np.array_equal(exth.mul(eq_v, pe), final_claim),
+                 "pcs witgen: opening recombination mismatch")
     col.w["bsume"].add(oid=oid)
     col.w["bsume"].ext("btot", batched)
     col.w["bsume"].ext("fc", final_claim)
@@ -884,7 +885,8 @@ def assign_pcs_query_verify(
         tl -= 1
     n_tail_folds = geo.n_tail_folds
     for i in range(cur_t.shape[0]):
-        assert np.array_equal(cur_t[i], pe), "tail does not fold to F(point)"
+        replay.check(np.array_equal(cur_t[i], pe),
+                     "tail does not fold to F(point)")
         reg.use(pecid)
         col.w["tend"].ext("v", cur_t[i])
         col.w["tend"].ext("pe", pe)
@@ -899,10 +901,10 @@ def assign_pcs_query_verify(
         transcript.claim_absorb(nslot)
         sidx, v = transcript.sample_base_slot()
         thr = bb.P >> geo.pow_bits
-        assert v < thr, "pow grinding check failed in pcs witgen"
+        replay.check(v < thr, "pow grinding check failed in pcs witgen")
         nb = max((thr - 1).bit_length(), 1)
         row = {"nonce": nonce, "v": v}
-        cval = thr - 1 - v
+        cval = (thr - 1 - v) % bb.P
         for i in range(nb):
             row[f"vb{i}"] = (v >> i) & 1
             row[f"cb{i}"] = (cval >> i) & 1
@@ -918,7 +920,8 @@ def assign_pcs_query_verify(
         col.next_qid += 1
         sidx, v = transcript.sample_base_slot()
         idx = v % half_m
-        assert idx == int(q.index), "query index does not match transcript"
+        replay.check(idx == int(q.index),
+                     "query index does not match transcript")
 
         # bit decomposition + canonicity row
         bits = [(v >> i) & 1 for i in range(N_BITS)]
@@ -1038,7 +1041,7 @@ def assign_pcs_query_verify(
                                   out=accw * fct % bb.P)
                 col.f["twid"].add(qid=qid, bi=i, c=cc)
                 accw = accw * fct % bb.P
-            assert accw == twv, "twiddle chain mismatch"
+            replay.check(accw == twv, "twiddle chain mismatch")
             a, b_ = pair
             dd = exth.mul_base(exth.sub(a, b_), np.uint64(twv))
             ctd = exth.mul(chals[t], dd)
@@ -1051,7 +1054,7 @@ def assign_pcs_query_verify(
                 slot_bit_pos = cur_log - 2
                 slot = 0 if p_cur < mt // 2 else 1
                 col.use_bit(qid, slot_bit_pos, slot)
-                assert np.array_equal(folded, rows_t[slot, 0])
+                replay.check(np.array_equal(folded, rows_t[slot, 0]))
                 col.w["fold"].add(qid=qid, tw=twv, slot=slot)
                 col.w["fold"].ext("a", a)
                 col.w["fold"].ext("b", b_)
@@ -1090,7 +1093,7 @@ def assign_pcs_query_verify(
                 p_cur = p_cur % (mt // 2)
             else:
                 # the last fold lands in the tail
-                assert np.array_equal(folded, tail[p_cur])
+                replay.check(np.array_equal(folded, tail[p_cur]))
                 reg.use(tail_cid0 + p_cur)
                 col.w["qend"].add(qid=qid, tw=twv, p=p_cur)
                 col.w["qend"].ext("a", a)
@@ -1175,9 +1178,15 @@ def _root_row(col: PcsCollector, reg, bind, wid: int, depth: int):
                             rcid1=cids[1])
     else:
         expect = np.asarray(bind[1], np.uint64)
-        assert np.array_equal(root, expect), "walk root != key-fixed root"
+        replay.check(np.array_equal(root, expect),
+                     "walk root != key-fixed root")
         col.w["rootfx"].add(d=0)
+        # the fixed row carries the KEY-side root (``expect``), never the
+        # recomputed walk value: fixed columns are aggregation-key material
+        # and must be a function of (vk, geometry) alone — in structure
+        # replay the walk value is garbage while ``expect`` is the real
+        # vk fixed-commitment root
         frow = {"wid": wid, "depth": depth}
         for j in range(8):
-            frow[f"rv{j}"] = int(root[j])
+            frow[f"rv{j}"] = int(expect[j])
         col.f["rootfx"].add(**frow)

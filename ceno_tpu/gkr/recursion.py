@@ -35,6 +35,7 @@ from ..mle import expression as E
 from . import gadgets as G
 from .circuit_builder import CircuitBuilder, RAM_CUSTOM
 from .chip import compile_chip
+from ..utils import replay
 
 TAG_SUMCHECK_CLAIM = 3  # RAM_CUSTOM sub-tag (keccak state = 2)
 TAG_SPONGE_STATE = 4    # transcript duplex state chain (fs chips below)
@@ -299,7 +300,7 @@ def assign_fs_sumcheck_verify(chips: FsSumcheckVerifyChips, transcripts: list):
     vals_b = [v for uw in zip(ub, wb) for v in uw]
     for name, v in zip(names_b, vals_b):
         cols[name] = v
-    assert np.array_equal(out_b[:, :4], alphas)
+    replay.check(np.array_equal(out_b[:, :4], alphas))
     G.assign_lagrange(cols, "lag", ys, alphas, deg)
     rounds_wit = np.zeros((len(chips.rounds_cb.wit_names), n_rows), np.uint64)
     for i, name in enumerate(chips.rounds_cb.wit_names):
@@ -889,7 +890,7 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
                         "ys": msgs[r], "alpha": chals[r], "claim_in": cur,
                     })
                     cur = lagrange_extrapolate(msgs[r], chals[r])
-                assert np.array_equal(cur, final_claim)
+                replay.check(np.array_equal(cur, final_claim))
 
             evals = np.asarray(proof.level_evals[level - 1], np.uint64)
             # eq_v is computed in-circuit by an eq1 chain of `level` rows
@@ -900,7 +901,8 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
                 r_cids=point_cids if bind else None,
                 reg=reg if bind else None,
             )
-            assert np.array_equal(eq_v, exth.eq_eval(rt.astype(np.uint64), point))
+            replay.check(np.array_equal(
+                eq_v, exth.eq_eval(rt.astype(np.uint64), point)))
             brows["inst"].append(inst0 + i)
             brows["level"].append(level)
             for j in range(n_claims):
@@ -939,7 +941,8 @@ def assign_tower_verify(chips: TowerVerifyChips, proofs: list,
                 e += 4
                 a += 2
             bput("eacc", exth.mul(eq_v, acc))
-            if not np.array_equal(exth.mul(eq_v, acc), final_claim):
+            if not np.array_equal(exth.mul(eq_v, acc), final_claim) \
+                    and not replay.structure_only():
                 raise ValueError(f"tower {i} level {level}: recombination mismatch")
             if bind:
                 bfix["eidx"].append(transcript.append_slots(evals.ravel()))
@@ -1220,7 +1223,7 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
         for rr in range(log_r):
             cins[rr] = cur
             cur = lagrange_extrapolate(msgs[rr], chals[rr])
-        assert np.array_equal(cur, final_claim)
+        replay.check(np.array_equal(cur, final_claim))
     for kk in range(3):
         G.assign_ext(sc_rows, f"y{kk}", msgs[:, kk])
     G.assign_ext(sc_rows, "alpha", chals)
@@ -1306,7 +1309,7 @@ def assign_jagged_verify(chips: JaggedVerifyChips, layout, claims: list,
         s_ins[tt], b_ins[tt] = s, b
         s = exth.add(s, contribs[tt])
         b = exth.add(b, bterms[tt])
-    if not np.array_equal(s, final_claim):
+    if not np.array_equal(s, final_claim) and not replay.structure_only():
         raise ValueError("jagged recombination mismatch in witgen")
     if bind:
         claim_gcids = []
@@ -1676,8 +1679,8 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
                 sc_val = E.eval_scalar(tm.scalar, challenges, instances)
                 if bind and scalar_reg is not None:
                     scid = scalar_reg.cid_of(tm.scalar)
-                    assert np.array_equal(scalar_reg.value_of(tm.scalar),
-                                          sc_val)
+                    replay.check(np.array_equal(
+                        scalar_reg.value_of(tm.scalar), sc_val))
                     reg.use(scid)
                     term_scids.append(scid)
                 p_run = sc_val
@@ -1736,7 +1739,7 @@ def assign_class_main_verify(chips: ClassMainVerifyChips, vctxs: list,
         total = exth.add(total, gacc_)
         btotal = exth.add(btotal, gb_)
         cidx += 1
-    if not np.array_equal(total, final_claim):
+    if not np.array_equal(total, final_claim) and not replay.structure_only():
         raise ValueError("class-main recombination mismatch in witgen")
 
     def mat(cb, rows, base_keys, ext_keys):

@@ -160,6 +160,12 @@ class Sum(Expr):
     def degree(self):
         return max(t.degree() for t in self.terms)
 
+    def __repr__(self):
+        # deterministic structural repr: expression reprs key content
+        # digests (gkr.chip.chip_digest -> AggKey binding, AOT cache keys);
+        # the default object repr embeds the id()
+        return f"Sum({self.terms!r})"
+
 
 class Prod(Expr):
     def __init__(self, factors):
@@ -174,6 +180,9 @@ class Prod(Expr):
     def degree(self):
         return sum(f.degree() for f in self.factors)
 
+    def __repr__(self):
+        return f"Prod({self.factors!r})"
+
 
 class Neg(Expr):
     def __init__(self, inner):
@@ -181,6 +190,9 @@ class Neg(Expr):
 
     def degree(self):
         return self.inner.degree()
+
+    def __repr__(self):
+        return f"Neg({self.inner!r})"
 
 
 ZERO = Const(0)

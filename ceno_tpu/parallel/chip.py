@@ -18,10 +18,13 @@ gkr/chip.py:
   * the main zerocheck runs through ``prove_sharded`` over the witness
     columns.
 
-The Basefold commitment itself still runs single-device (the NTT's
-butterfly exchanges need a dedicated sharded kernel — future work); the
-proof bytes are identical either way, which dryrun_multichip asserts
-against gkr.chip.prove_chip.
+The Basefold commit -> open path runs under the same mesh since round 4:
+its kernels (NTT encode, Merkle hash_and_tree, fold oracles, query
+gathers) are pure jitted programs, so __graft_entry__.dryrun_multichip
+shards their operands over the mesh and XLA compiles them as GSPMD SPMD
+programs — roots, paths and fold oracles byte-identical to the
+single-device prover. Proof bytes are identical either way, which
+dryrun_multichip asserts against gkr.chip.prove_chip.
 """
 
 from __future__ import annotations

@@ -461,6 +461,9 @@ def verify_batch(
     transcript: Transcript,
     params: BasefoldParams = BasefoldParams(),
 ):
+    from ..utils import replay
+
+    _chk = not replay.structure_only()
     n = 1 << n_vars
     m = n << params.blowup_log
     k = points.shape[0]
@@ -495,7 +498,7 @@ def verify_batch(
     for kk in range(k):
         eq_v = exth.eq_eval(points[kk].astype(np.uint64), point.astype(np.uint64))
         acc = exth.add(acc, exth.mul(eq_v, proof.point_evals[kk]))
-    if not np.array_equal(acc, final_claim):
+    if _chk and not np.array_equal(acc, final_claim):
         raise PCSError("opening sumcheck recombination mismatch")
     transcript.append(np.asarray(proof.point_evals, np.uint64).ravel())
 
@@ -512,11 +515,13 @@ def verify_batch(
             cur = _fold_host(cur, chals[t], ntt.domain_pow_inv(tl))
             tl -= 1
         pe = np.asarray(proof.point_evals[kk], np.uint64)
-        if not all(np.array_equal(cur[i], pe) for i in range(cur.shape[0])):
+        if _chk and not all(np.array_equal(cur[i], pe) for i in range(cur.shape[0])):
             raise PCSError(f"tail {kk} is not the constant F_k(point)")
 
     # query phase
-    if not transcript.check_grind(proof.pow_nonce, params.pow_bits):
+    # check_grind ALWAYS runs (it absorbs the nonce + samples — part of the
+    # transcript sequence); only the bound check is waived in replay
+    if not transcript.check_grind(proof.pow_nonce, params.pow_bits) and _chk:
         raise PCSError("proof-of-work grinding check failed")
     idxs = [transcript.sample_base() % (m // 2) for _ in range(params.n_queries)]
     if [q.index for q in proof.queries] != idxs:
@@ -539,7 +544,7 @@ def verify_batch(
             np.stack([q.base_paths[1] for q in proof.queries]),
         ]
     )
-    if not verify_paths(root, base_idx, base_vals, base_paths):
+    if _chk and not verify_paths(root, base_idx, base_vals, base_paths):
         raise PCSError("base Merkle paths invalid")
     for t in range(n_committed):
         mt = m >> (t + 1)
@@ -561,7 +566,7 @@ def verify_batch(
                 np.stack([q.u_paths[t][1] for q in proof.queries]),
             ]
         )
-        if not verify_paths(proof.fold_roots[t], lvl_idx, lvl_vals, lvl_paths):
+        if _chk and not verify_paths(proof.fold_roots[t], lvl_idx, lvl_vals, lvl_paths):
             raise PCSError(f"fold level {t} Merkle paths invalid")
 
     for q in proof.queries:
@@ -599,7 +604,7 @@ def verify_batch(
                 pnext = p % (mt // 2)
                 slot = 0 if p < mt // 2 else 1
                 for kk in range(k):
-                    if not np.array_equal(folded[kk], rows[slot, kk]):
+                    if _chk and not np.array_equal(folded[kk], rows[slot, kk]):
                         raise PCSError(
                             f"query {i}: fold level {t} value mismatch (point {kk})"
                         )
@@ -609,7 +614,7 @@ def verify_batch(
             else:
                 # folded lands in the in-clear tails
                 for kk in range(k):
-                    if not np.array_equal(folded[kk], tail[kk, p]):
+                    if _chk and not np.array_equal(folded[kk], tail[kk, p]):
                         raise PCSError(f"query {i}: tail value mismatch (point {kk})")
                 break
     return True

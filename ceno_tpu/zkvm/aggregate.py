@@ -57,12 +57,12 @@ LABEL_AGG = scheme.LABEL + b"/agg-v1"
 # Multi-shard chain placement: each verified proof's transcript chain gets a
 # disjoint duplex-step range. Duplex slot keys go up to 8*(chain_end)+15, so
 # they stay < BabyBear P only while the LAST chain's steps stay below
-# (P - 16) / 8: with STEP_STRIDE = 2^22 that caps an aggregation at 60
-# chains (NOT 64 — shard 60's keys would wrap mod P and alias shard 0's
+# (P - 16) / 8: with STEP_STRIDE = 2^22 that caps an aggregation at 59
+# chains (NOT 64 — a 60th shard's keys would wrap mod P and alias shard 0's
 # slot space, a silent soundness break). build_aggregation_witness_multi
 # enforces both the chain-count cap and the per-chain step budget.
 STEP_STRIDE = 1 << 22
-MAX_CHAINS = (bb.P - 16) // (8 * STEP_STRIDE)  # = 60
+MAX_CHAINS = (bb.P - 16) // (8 * STEP_STRIDE)  # = 59
 # Jagged-stage bus namespaces (ids must clear the tower/class blocks)
 JAG_SC_BASE = 1 << 26      # SumcheckClaim id of opening o = JAG_SC_BASE + o
 JAG_EQ_BASE = 1 << 26      # EqChain cids: JAG_EQ_BASE + o*JAG_EQ_STRIDE + t
@@ -509,9 +509,11 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
 # towers, every height class with one batched zerocheck, and opens the
 # column claims through the jagged PCS — exactly the shard pipeline minus
 # fixed columns / EC chips / shard gating. ``AggKey`` (the chip list) is
-# deterministic given the shard vk and the proof's public geometry; the
-# outer verifier reconstructs or trusts it the same way the reference's
-# recursion verifier trusts its compiled recursion program.
+# a deterministic function of (shard vk, params, the proof's public
+# geometry): the verifier RECONSTRUCTS it (expected_agg_key, via
+# zkvm/skeleton.py structure replay) instead of trusting a prover-supplied
+# key — the same trust the reference's recursion verifier places in its
+# fixed compiled recursion program's verifying key.
 # ---------------------------------------------------------------------------
 
 
@@ -543,14 +545,30 @@ class AggKey:
     params: object         # BasefoldParams
 
     def digest_elems(self) -> np.ndarray:
+        """Binding commitment to the key: every chip's FULL compiled
+        constraint system (gkr.chip.chip_digest — name, wit/fixed counts,
+        structural specs, all record/lookup/slot expressions), its fixed
+        schedule columns, AND the PCS params (blowup/queries/pow — the
+        security level). A same-shaped key with one altered slot expression
+        or weakened n_queries digests differently, so an outer layer that
+        pins this digest pins the circuits (mirrors
+        ceno_recursion_v2/src/circuit/root/mod.rs:20 child_vk_pre_hash)."""
         import hashlib
+
+        from ..gkr.chip import chip_digest
 
         parts = [np.uint64(len(self.chips))]
         h = hashlib.sha256()
+        p = self.params
+        h.update(repr((
+            int(p.blowup_log), int(p.n_queries), int(p.pow_bits),
+            int(p.stop_size), bool(p.jagged), str(p.pcs_kind),
+        )).encode())
         for name, compiled, cb, fixed in self.chips:
             parts.append(np.uint64(compiled.n_wit))
             parts.append(np.uint64(len(compiled.slots)))
             h.update(name.encode())
+            h.update(chip_digest(compiled).encode())
             if fixed is not None:
                 # the fixed schedule columns are key material: commit them
                 h.update(np.ascontiguousarray(fixed, np.uint64).tobytes())
@@ -562,6 +580,21 @@ class AggKey:
 
 
 @dataclass
+class ShardGeometry:
+    """Public geometry of one verified shard proof: everything (besides the
+    vk, params and the shard pv — all in the aggregation statement) that
+    the verifier-circuit chip set depends on. Prover-supplied, like a shard
+    proof's num_instances: any value parameterizes HONEST verifier circuits
+    of that shape, so lying about it only changes WHICH statement the
+    aggregation attests — which stays pinned by the vk digest + pv."""
+
+    num_instances: list
+    is_first: bool = True
+    is_last: bool = True
+    standalone: bool = True
+
+
+@dataclass
 class AggProof:
     public_values: np.ndarray
     num_instances: list
@@ -569,6 +602,10 @@ class AggProof:
     tower_groups: dict     # n_t -> tower.TowerProof
     class_main: dict       # height -> chiplib.ClassMainProof
     witness_opening: object  # jagged opening proof
+    # public geometry for verifier-side key reconstruction
+    # (expected_agg_key): [ShardGeometry] per verified shard proof, or
+    # ("chipset", inner_num_instances) for a level-2 tree proof
+    geometry: object = None
 
 
 class AggError(Exception):
@@ -771,10 +808,13 @@ def verify_chipset(key: AggKey, proof: AggProof, *,
                 )
                 logup_den = exth.mul(logup_den, q)
 
-    if not np.array_equal(prod_r, prod_w):
-        raise AggError("global read/write product mismatch")
-    if logup_num.any():
-        raise AggError("global logup sum is nonzero")
+    from ..utils import replay as _replay
+
+    if not _replay.structure_only():
+        if not np.array_equal(prod_r, prod_w):
+            raise AggError("global read/write product mismatch")
+        if logup_num.any():
+            raise AggError("global logup sum is nonzero")
 
     if set(proof.class_main) != set(layout):
         raise AggError("class main height set mismatch")
@@ -816,7 +856,7 @@ def verify_chipset(key: AggKey, proof: AggProof, *,
             expect = np.sum((eqv * col[:, None]) % np.uint64(bb.P),
                             axis=0) % np.uint64(bb.P)
             if not np.array_equal(np.asarray(op.fixed_evals[j], np.uint64),
-                                  expect):
+                                  expect) and not _replay.structure_only():
                 raise AggError(f"{name}: fixed column {j} eval mismatch")
 
     claims = _agg_jagged_claims(layout, slice_base, openings)
@@ -849,17 +889,78 @@ def prove_aggregation(vk, proof, params=None, fs: bool = True,
     params = params or vk.params
     aproof = prove_chipset(chips, pv, params)
     key = AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips], params)
+    if fs:
+        aproof.geometry = [ShardGeometry(
+            list(proof.num_instances),
+            is_first=verify_kwargs.get("is_first", True),
+            is_last=verify_kwargs.get("is_last", True),
+            standalone=verify_kwargs.get("standalone", True),
+        )]
     return key, aproof
 
 
-def verify_aggregation(key: AggKey, aproof: AggProof, vk) -> bool:
-    """Verify an aggregation proof's GKR + PCS layers AND that its public
-    values are bound to the TRUSTED shard vk: pv = vk digest ++ shard pv,
-    so the digest prefix must equal ``vk.digest_elems()`` — without this
-    check the proof could be bound to any vk the prover chose. The semantic
-    link back to the shard statement (FS-derived challenges, record-claim ->
-    batched-claim linkage, PCS query phase in-circuit) is carried by the
-    corresponding chip families as they are wired in (RECURSION.md)."""
+def expected_agg_key(vk, geometries: list, pvs: list, params=None,
+                     _ninst_out: list | None = None) -> AggKey:
+    """THE TRUST ANCHOR: deterministically rebuild the aggregation chip set
+    (compiled circuits + fixed schedule columns) from public data only —
+    the TRUSTED shard vk, the PCS params, each verified proof's public
+    geometry and its pv (both in/alongside the aggregation statement).
+
+    Works by synthesizing a shape-exact proof skeleton per shard
+    (zkvm/skeleton.py) and running the REAL witness builder over it under
+    structure replay: every chip structure and fixed schedule falls out
+    exactly as for the real proofs, because none of them depends on proof
+    VALUES. verify_aggregation uses this key instead of trusting a
+    prover-supplied one — the reference anchors the same trust in its fixed
+    recursion circuit's verifying key (ceno_recursion_v2
+    root/prover.rs:177 get_vk + root/mod.rs:20 child_vk_pre_hash).
+
+    ``_ninst_out``: optional list that receives each chip's (unpadded) row
+    count — the level-2 tree reconstruction needs them."""
+    from ..utils import replay
+    from . import skeleton as SK
+
+    params = params or vk.params
+    specs = []
+    for g, pv in zip(geometries, pvs):
+        sk = SK.skeleton_zkvm_proof(
+            vk, g.num_instances, pv, is_first=g.is_first, is_last=g.is_last,
+            standalone=g.standalone,
+        )
+        specs.append((sk, {"is_first": g.is_first, "is_last": g.is_last,
+                           "standalone": g.standalone}))
+    with replay.structure_replay():
+        sets, _summary = build_aggregation_witness_multi(vk, specs, fs=True)
+    chips = _agg_chips_from_sets(sets, fs=True)
+    if _ninst_out is not None:
+        _ninst_out.extend(c.num_instances for c in chips)
+    return AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips],
+                  params)
+
+
+def _shard_pvs_of(aproof: AggProof, vk, n_shards: int) -> list:
+    digest = vk.digest_elems() % np.uint64(bb.P)
+    pv = np.asarray(aproof.public_values, np.uint64)
+    n_digest = len(digest)
+    if len(pv) != n_digest + n_shards * N_PV:
+        raise AggError("aggregation public value length mismatch")
+    return [pv[n_digest + s * N_PV: n_digest + (s + 1) * N_PV]
+            for s in range(n_shards)]
+
+
+def verify_aggregation(aproof: AggProof, vk, params=None) -> bool:
+    """Verify an aggregation proof against the TRUSTED shard vk ONLY — no
+    prover-supplied key. The verifier-circuit chip set is reconstructed
+    from (vk, params, aproof.geometry, the shard pv embedded in
+    aproof.public_values) via :func:`expected_agg_key`; the pv digest
+    prefix must equal ``vk.digest_elems()``. The semantic link back to the
+    shard statement (FS-derived challenges, record-claim -> batched-claim
+    linkage, PCS query phase in-circuit) is carried by the reconstructed
+    chip families (RECURSION.md)."""
+    if not aproof.geometry or len(aproof.geometry) != 1:
+        raise AggError("aggregation proof must carry one shard geometry")
+    pvs = _shard_pvs_of(aproof, vk, 1)
+    key = expected_agg_key(vk, aproof.geometry, pvs, params)
     verify_chipset(key, aproof)
     _check_pv_digest(aproof, vk.digest_elems())
     return True
@@ -960,6 +1061,11 @@ def prove_shard_aggregation(vk, sproof, params=None):
     params = params or vk.params
     aproof = prove_chipset(chips, pv, params)
     key = AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips], params)
+    aproof.geometry = [
+        ShardGeometry(list(p.num_instances), is_first=(s == 0),
+                      is_last=(s == n - 1), standalone=False)
+        for s, p in enumerate(sproof.proofs)
+    ]
     return key, aproof, n
 
 
@@ -988,21 +1094,88 @@ def prove_chipset_aggregation(key: AggKey, aproofs: list, params=None):
     outer = prove_chipset(chips, pv, params)
     okey = AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips],
                   params)
+    outer.geometry = ("chipset", [list(p.num_instances) for p in aproofs])
     return okey, outer
 
 
-def verify_shard_aggregation(key: AggKey, aproof: AggProof, n_shards: int,
-                             vk) -> bool:
-    """Verify a sharded aggregation: the chipset proof (in-circuit shard
-    verifications), the binding of the aggregation pv to the TRUSTED shard
-    ``vk`` (digest prefix), and the pv-only chaining + EC-sum checks on the
-    aggregation public values."""
+def expected_chipset_key(inner_key: AggKey, inner_ninsts: list,
+                         inner_pvs: list, params=None) -> AggKey:
+    """Level-2 trust anchor: rebuild the OUTER aggregation chip set from
+    the (itself reconstructed) inner key + each inner proof's public
+    geometry (its per-chip num_instances) and pv. Mirrors
+    :func:`expected_agg_key` with verify_chipset as the replayed verifier."""
+    from ..utils import replay
+    from . import skeleton as SK
+
+    params = params or inner_key.params
+    specs = []
+    for ninst, pv in zip(inner_ninsts, inner_pvs):
+        specs.append((SK.skeleton_chipset_proof(inner_key, ninst, pv), {}))
+    with replay.structure_replay():
+        sets, _summary = build_aggregation_witness_multi(
+            None, specs, fs=True,
+            verify_fn=lambda proof, cap, t, **kw: verify_chipset(
+                inner_key, proof, capture=cap, transcript=t),
+            label=LABEL_AGG, digest_len=len(inner_key.digest_elems()),
+            params=params,
+        )
+    chips = _agg_chips_from_sets(sets, fs=True)
+    return AggKey([(c.name, c.compiled, c.cb, c.fixed) for c in chips],
+                  params)
+
+
+def verify_chipset_aggregation(outer: AggProof, inner_key: AggKey,
+                               inner_pvs: list, params=None) -> bool:
+    """Verify a level-2 (tree closure) aggregation against a TRUSTED (or
+    reconstructed) inner key only: the outer chip set is rebuilt from
+    public geometry, the outer pv prefix must equal the inner key's
+    (circuit-binding) digest, and each inner proof's pv must appear in the
+    outer statement."""
+    if not (isinstance(outer.geometry, tuple)
+            and outer.geometry[0] == "chipset"):
+        raise AggError("proof does not carry chipset-level geometry")
+    inner_ninsts = outer.geometry[1]
+    if len(inner_ninsts) != len(inner_pvs):
+        raise AggError("inner pv count mismatch")
+    key = expected_chipset_key(inner_key, inner_ninsts, inner_pvs, params)
+    verify_chipset(key, outer)
+    digest = inner_key.digest_elems() % np.uint64(bb.P)
+    pv = np.asarray(outer.public_values, np.uint64)
+    n_d = len(digest)
+    if not np.array_equal(pv[:n_d], digest):
+        raise AggError("outer pv is not bound to the inner key digest")
+    off = n_d
+    for ipv in inner_pvs:
+        ipv = np.asarray(ipv, np.uint64) % np.uint64(bb.P)
+        if not np.array_equal(pv[off: off + len(ipv)], ipv):
+            raise AggError("outer pv does not embed an inner statement")
+        off += len(ipv)
+    if off != len(pv):
+        raise AggError("outer pv length mismatch")
+    return True
+
+
+def verify_shard_aggregation(aproof: AggProof, n_shards: int, vk,
+                             params=None) -> bool:
+    """Verify a sharded aggregation against the TRUSTED shard vk ONLY (no
+    prover-supplied key — reconstructed, see :func:`expected_agg_key`):
+    the chipset proof (in-circuit shard verifications), the pv binding to
+    the vk digest, and the pv-only chaining + EC-sum checks.
+
+    Halt enforcement rides the reconstruction: the last shard's geometry
+    is replayed with is_last=True, and scheme.verify's expect_halt check
+    (a geometry rule, live in replay) rejects a final-shard geometry whose
+    halt chip count != 1 — so a witness-forging prover cannot aggregate a
+    never-halting trace (verifier.rs has_halt role, verifier-side)."""
+    if not aproof.geometry or len(aproof.geometry) != n_shards:
+        raise AggError("aggregation proof must carry one geometry per shard")
+    for s, g in enumerate(aproof.geometry):
+        if (g.is_first, g.is_last, g.standalone) != \
+                (s == 0, s == n_shards - 1, False):
+            raise AggError(f"shard {s}: wrong geometry flags")
+    pvs = _shard_pvs_of(aproof, vk, n_shards)
+    key = expected_agg_key(vk, aproof.geometry, pvs, params)
     verify_chipset(key, aproof)
-    n_digest = _check_pv_digest(aproof, vk.digest_elems())
-    pv = np.asarray(aproof.public_values, np.uint64)
-    if len(pv) != n_digest + n_shards * N_PV:
-        raise AggError("aggregation public value length mismatch")
-    pvs = [pv[n_digest + s * N_PV: n_digest + (s + 1) * N_PV]
-           for s in range(n_shards)]
+    _check_pv_digest(aproof, vk.digest_elems())
     check_pv_chain(pvs)
     return True

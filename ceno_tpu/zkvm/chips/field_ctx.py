@@ -24,9 +24,13 @@ INV = None   # vectorized batch-inverse override for non-BabyBear fields
 
 
 def enc_signed(v) -> np.ndarray:
-    """Field-encode SMALL signed integers (|v| << P) without int64-modulus
-    overflow (GL P exceeds int64): negatives map to P + v."""
+    """Field-encode SMALL signed integers (|v| < P) without int64-modulus
+    overflow (GL P exceeds int64): negatives map to P + v. Inputs >= P are
+    rejected rather than silently left non-canonical (callers pass
+    immediates / 16-bit limb differences; a full 32-bit quantity under
+    BabyBear would need an explicit reduction at the call site)."""
     a = np.asarray(v, np.int64)
+    assert np.all(np.abs(a) < P), "enc_signed input magnitude >= field modulus"
     return np.where(a < 0, np.uint64(P) + a.astype(np.uint64),
                     a.astype(np.uint64))
 

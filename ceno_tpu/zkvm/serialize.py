@@ -47,14 +47,14 @@ def _whitelist():
 
     from ..gkr.eccquark import EccQuarkProof
     from .shard import ShardedProof
-    from .aggregate import AggProof
+    from .aggregate import AggProof, ShardGeometry
 
     classes = [
         ZKVMProof, ChipProof, ClassMainProof, TowerProof,
         OpeningProof, QueryProof, JaggedOpening,
         WhirProof, WhirIter, WhirQuerySet,
         BasefoldParams, ZKVMConfig, Platform, EccQuarkProof, ShardedProof,
-        AggProof,
+        AggProof, ShardGeometry,
     ]
     return {c.__name__: c for c in classes}
 
