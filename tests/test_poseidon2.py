@@ -104,3 +104,32 @@ def test_sample_ext_pows():
     alpha = pows[1]
     for i in range(1, 4):
         np.testing.assert_array_equal(pows[i + 1], _ext_mul_canon(pows[i], alpha))
+
+
+def test_pallas_leaf_sponge_and_compress_match_host():
+    """The fused pallas Merkle kernels (hash/poseidon2_pallas.py) are
+    byte-identical to the host sponge/compression (interpret mode on CPU;
+    the real-TPU path is exercised by bench.py / the commit pipeline)."""
+    import jax.numpy as jnp
+
+    from ceno_tpu.hash import poseidon2_pallas as pp
+    from ceno_tpu.pcs.merkle import host_build_levels, host_hash_leaves
+
+    rng = np.random.default_rng(7)
+    for c in (1, 8, 13, 17):
+        cols = rng.integers(0, bb.P, size=(c, 1024), dtype=np.uint64)
+        want = host_hash_leaves(cols)
+        got = bb.np_from_monty(np.asarray(pp.leaf_sponge(
+            jnp.asarray(bb.np_to_monty(cols.astype(np.uint32))),
+            interpret=True,
+        ))).astype(np.uint64)
+        np.testing.assert_array_equal(want, got)
+    leaves = host_hash_leaves(
+        rng.integers(0, bb.P, size=(5, 2048), dtype=np.uint64)
+    )
+    want_lvl = host_build_levels(leaves)[0]
+    got_lvl = bb.np_from_monty(np.asarray(pp.compress_level(
+        jnp.asarray(bb.np_to_monty(leaves.astype(np.uint32))),
+        interpret=True,
+    ))).astype(np.uint64)
+    np.testing.assert_array_equal(want_lvl, got_lvl)
