@@ -193,6 +193,228 @@ void emu_init_memory(void *h, uint32_t addr, const uint32_t *words, int64_t n) {
     vm->mem[(addr >> 2) + (uint32_t)i] = words[i];
 }
 
+
+// ---------------------------------------------------------------------------
+// ECALL semantics, shared by the trace interpreter (r != nullptr) and the
+// AOT preflight backend (r == nullptr: no step row, no timestamp
+// bookkeeping — values and control flow only). Extracted verbatim from the
+// interpreter loop; ceno_emul/src/aot.rs role note in emulator/aotgen.py.
+// ---------------------------------------------------------------------------
+
+static int do_ecall(Vm *vm, StepRow *rp, uint32_t ts, uint32_t &next_pc) {
+  StepRow dummy;
+  bool tracing = rp != nullptr;
+  StepRow &R = tracing ? *rp : dummy;
+  auto read_reg = [&](int reg, int slot) {
+    uint32_t v = vm->regs[reg];
+    uint32_t prev = vm->reg_ts[reg];
+    if (tracing) vm->reg_ts[reg] = ts + slot;
+    return std::pair<uint32_t, uint32_t>(v, prev);
+  };
+
+      uint32_t code = vm->regs[5];
+      auto p = read_reg(5, 0);
+      R.rs1 = 5; R.rs1_val = p.first; R.rs1_prev_ts = p.second;
+      if (code == 0) {
+        auto q = read_reg(10, 1);
+        R.rs2 = 10; R.rs2_val = q.first; R.rs2_prev_ts = q.second;
+        vm->halted = 1;
+        vm->exit_code = vm->regs[10];
+        next_pc = vm->pc;
+      } else if (code == 0x010109u || code == 0x010120u) {
+        // KECCAK_PERMUTE / PUB_IO_COMMIT (keccak_permute.rs /
+        // pubio_commit.rs layouts; python mirror in emulator/state.py)
+        auto q = read_reg(10, 1);
+        R.rs2 = 10; R.rs2_val = q.first; R.rs2_prev_ts = q.second;
+        uint32_t ptr = q.first;
+        if (ptr & 3) return -2; // misaligned: python path raises cleanly
+        uint32_t base_w = ptr >> 2;
+        int n_words = code == 0x010109u ? 50 : 8;
+        uint32_t words[50];
+        for (int i = 0; i < n_words; i++) {
+          uint32_t w_ = base_w + (uint32_t)i;
+          words[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+        }
+        uint32_t outw[50];
+        if (code == 0x010109u) {
+          uint64_t lanes[25];
+          for (int i = 0; i < 25; i++)
+            lanes[i] = (uint64_t)words[2 * i] | ((uint64_t)words[2 * i + 1] << 32);
+          keccakf(lanes);
+          for (int i = 0; i < 25; i++) {
+            outw[2 * i] = (uint32_t)lanes[i];
+            outw[2 * i + 1] = (uint32_t)(lanes[i] >> 32);
+          }
+        } else {
+          for (int i = 0; i < 8; i++) vm->pubio_digest[i] = words[i];
+          vm->pubio_committed = 1;
+          for (int i = 0; i < n_words; i++) outw[i] = words[i];
+        }
+        R.sys_idx = (int32_t)vm->sys_blocks;
+        for (int i = 0; i < 50; i++) {
+          uint32_t w_ = base_w + (uint32_t)i;
+          if (i < n_words) {
+            uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+            vm->sys_addr.push_back(w_);
+            if (tracing) vm->sys_prev.push_back(words[i]);
+            if (tracing) vm->sys_val.push_back(outw[i]);
+            if (tracing) vm->sys_pts.push_back(pts);
+            vm->mem[w_] = outw[i];
+            if (tracing) vm->mem_ts[w_] = ts + 3;
+          } else {
+            vm->sys_addr.push_back(0);
+            if (tracing) vm->sys_prev.push_back(0);
+            if (tracing) vm->sys_val.push_back(0);
+            if (tracing) vm->sys_pts.push_back(0);
+          }
+        }
+        if (tracing) vm->sys_blocks++;
+      } else if (code == 0x300105u) {
+        // SHA_EXTEND (sha256.rs:extend mirror; python in emulator/state.py)
+        // a0 = &w[i]; block order contract: [-2, -7, -15, -16, write@0]
+        auto q = read_reg(10, 1);
+        R.rs2 = 10; R.rs2_val = q.first; R.rs2_prev_ts = q.second;
+        uint32_t ptr = q.first;
+        if (ptr & 3) return -2;
+        uint32_t base_w = ptr >> 2;
+        if (base_w < 16) return -2;
+        static const uint32_t offs[4] = {2, 7, 15, 16};
+        uint32_t vals[17]; // indexed by offset
+        R.sys_idx = (int32_t)vm->sys_blocks;
+        for (int j = 0; j < 4; j++) {
+          uint32_t w_ = base_w - offs[j];
+          uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+          vm->sys_addr.push_back(w_);
+          if (tracing) vm->sys_prev.push_back(v);
+          if (tracing) vm->sys_val.push_back(v);
+          if (tracing) vm->sys_pts.push_back(pts);
+          if (tracing) vm->mem_ts[w_] = ts + 3;
+          vals[offs[j]] = v;
+        }
+        auto ror = [](uint32_t v, int k) {
+          return (v >> k) | (v << (32 - k));
+        };
+        uint32_t s0 = ror(vals[15], 7) ^ ror(vals[15], 18) ^ (vals[15] >> 3);
+        uint32_t s1 = ror(vals[2], 17) ^ ror(vals[2], 19) ^ (vals[2] >> 10);
+        uint32_t neww = vals[16] + s0 + vals[7] + s1;
+        uint32_t prevw = vm->mem.count(base_w) ? vm->mem[base_w] : 0;
+        uint32_t ppts = vm->mem_ts.count(base_w) ? vm->mem_ts[base_w] : 0;
+        vm->sys_addr.push_back(base_w);
+        if (tracing) vm->sys_prev.push_back(prevw);
+        if (tracing) vm->sys_val.push_back(neww);
+        if (tracing) vm->sys_pts.push_back(ppts);
+        vm->mem[base_w] = neww;
+        if (tracing) vm->mem_ts[base_w] = ts + 3;
+        for (int j = 5; j < 50; j++) {
+          vm->sys_addr.push_back(0);
+          if (tracing) vm->sys_prev.push_back(0);
+          if (tracing) vm->sys_val.push_back(0);
+          if (tracing) vm->sys_pts.push_back(0);
+        }
+        if (tracing) vm->sys_blocks++;
+      } else if (code == 0x01011du) {
+        // UINT256_MUL (uint256.rs mirror; python in emulator/state.py):
+        // a0 = &x (8 words, overwritten), a1 = &y with modulus at a1+32.
+        // a1 rides the rd record slot as a preserving write.
+        auto q = read_reg(10, 1);
+        R.rs2 = 10; R.rs2_val = q.first; R.rs2_prev_ts = q.second;
+        auto a1 = read_reg(11, 2);
+        R.rd = 11; R.rd_prev = a1.first; R.rd_val = a1.first;
+        R.rd_prev_ts = a1.second;
+        uint32_t x_ptr = q.first, y_ptr = a1.first;
+        if ((x_ptr | y_ptr) & 3) return -2;
+        uint32_t xw = x_ptr >> 2, yw = y_ptr >> 2;
+        uint32_t xv[8], yv[8], mv[8];
+        for (int i = 0; i < 8; i++) {
+          uint32_t w_;
+          w_ = xw + (uint32_t)i; xv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          w_ = yw + (uint32_t)i; yv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          w_ = yw + 8 + (uint32_t)i; mv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
+        }
+        // 256x256 -> 512-bit schoolbook on u32 limbs, then mod m (m=0 ->
+        // truncate to 256 bits). Division via simple base-2^32 long division.
+        uint32_t prod[16] = {0};
+        for (int i = 0; i < 8; i++) {
+          uint64_t carry = 0;
+          for (int j = 0; j < 8; j++) {
+            uint64_t cur = (uint64_t)xv[i] * yv[j] + prod[i + j] + carry;
+            prod[i + j] = (uint32_t)cur;
+            carry = cur >> 32;
+          }
+          prod[i + 8] = (uint32_t)carry;
+        }
+        uint32_t res[8] = {0};
+        bool m_zero = true;
+        for (int i = 0; i < 8; i++) if (mv[i]) m_zero = false;
+        if (m_zero) {
+          for (int i = 0; i < 8; i++) res[i] = prod[i];
+        } else {
+          // rem = prod mod m, bit-by-bit from the top (512 iterations)
+          uint32_t rem[9] = {0};
+          for (int b = 511; b >= 0; b--) {
+            uint32_t topcarry = 0;
+            for (int i = 0; i < 9; i++) {
+              uint32_t nx = (rem[i] << 1) | topcarry;
+              topcarry = rem[i] >> 31;
+              rem[i] = nx;
+            }
+            rem[0] |= (prod[b >> 5] >> (b & 31)) & 1u;
+            // if rem >= m: rem -= m (m has 8 limbs; rem 9)
+            bool ge = rem[8] != 0;
+            if (!ge) {
+              ge = true;
+              for (int i = 7; i >= 0; i--) {
+                if (rem[i] != mv[i]) { ge = rem[i] > mv[i]; break; }
+              }
+            }
+            if (ge) {
+              uint64_t borrow = 0;
+              for (int i = 0; i < 8; i++) {
+                uint64_t cur = (uint64_t)rem[i] - mv[i] - borrow;
+                rem[i] = (uint32_t)cur;
+                borrow = (cur >> 63) & 1;
+              }
+              rem[8] -= (uint32_t)borrow;
+            }
+          }
+          for (int i = 0; i < 8; i++) res[i] = rem[i];
+        }
+        R.sys_idx = (int32_t)vm->sys_blocks;
+        for (int i = 0; i < 8; i++) {  // x write ops
+          uint32_t w_ = xw + (uint32_t)i;
+          uint32_t prev = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+          vm->sys_addr.push_back(w_);
+          if (tracing) vm->sys_prev.push_back(prev);
+          if (tracing) vm->sys_val.push_back(res[i]);
+          if (tracing) vm->sys_pts.push_back(pts);
+          vm->mem[w_] = res[i];
+          if (tracing) vm->mem_ts[w_] = ts + 3;
+        }
+        for (int i = 0; i < 16; i++) {  // y then m read ops
+          uint32_t w_ = yw + (uint32_t)i;
+          uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
+          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
+          vm->sys_addr.push_back(w_);
+          if (tracing) vm->sys_prev.push_back(v);
+          if (tracing) vm->sys_val.push_back(v);
+          if (tracing) vm->sys_pts.push_back(pts);
+          if (tracing) vm->mem_ts[w_] = ts + 3;
+        }
+        for (int j = 24; j < 50; j++) {
+          vm->sys_addr.push_back(0);
+          if (tracing) vm->sys_prev.push_back(0);
+          if (tracing) vm->sys_val.push_back(0);
+          if (tracing) vm->sys_pts.push_back(0);
+        }
+        if (tracing) vm->sys_blocks++;
+      } else {
+        return -2; // unsupported ecall
+      }
+        return 0;
+}
+
 // Returns number of steps executed; halted/exit_code via emu_state.
 int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
   Vm *vm = (Vm *)h;
@@ -343,206 +565,8 @@ int64_t emu_run(void *h, StepRow *out, int64_t max_steps) {
       break;
     }
     case ECALL: {
-      uint32_t code = vm->regs[5];
-      auto p = read_reg(5, 0);
-      r.rs1 = 5; r.rs1_val = p.first; r.rs1_prev_ts = p.second;
-      if (code == 0) {
-        auto q = read_reg(10, 1);
-        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
-        vm->halted = 1;
-        vm->exit_code = vm->regs[10];
-        next_pc = vm->pc;
-      } else if (code == 0x010109u || code == 0x010120u) {
-        // KECCAK_PERMUTE / PUB_IO_COMMIT (keccak_permute.rs /
-        // pubio_commit.rs layouts; python mirror in emulator/state.py)
-        auto q = read_reg(10, 1);
-        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
-        uint32_t ptr = q.first;
-        if (ptr & 3) return -2; // misaligned: python path raises cleanly
-        uint32_t base_w = ptr >> 2;
-        int n_words = code == 0x010109u ? 50 : 8;
-        uint32_t words[50];
-        for (int i = 0; i < n_words; i++) {
-          uint32_t w_ = base_w + (uint32_t)i;
-          words[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
-        }
-        uint32_t outw[50];
-        if (code == 0x010109u) {
-          uint64_t lanes[25];
-          for (int i = 0; i < 25; i++)
-            lanes[i] = (uint64_t)words[2 * i] | ((uint64_t)words[2 * i + 1] << 32);
-          keccakf(lanes);
-          for (int i = 0; i < 25; i++) {
-            outw[2 * i] = (uint32_t)lanes[i];
-            outw[2 * i + 1] = (uint32_t)(lanes[i] >> 32);
-          }
-        } else {
-          for (int i = 0; i < 8; i++) vm->pubio_digest[i] = words[i];
-          vm->pubio_committed = 1;
-          for (int i = 0; i < n_words; i++) outw[i] = words[i];
-        }
-        r.sys_idx = (int32_t)vm->sys_blocks;
-        for (int i = 0; i < 50; i++) {
-          uint32_t w_ = base_w + (uint32_t)i;
-          if (i < n_words) {
-            uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-            vm->sys_addr.push_back(w_);
-            vm->sys_prev.push_back(words[i]);
-            vm->sys_val.push_back(outw[i]);
-            vm->sys_pts.push_back(pts);
-            vm->mem[w_] = outw[i];
-            vm->mem_ts[w_] = ts + 3;
-          } else {
-            vm->sys_addr.push_back(0);
-            vm->sys_prev.push_back(0);
-            vm->sys_val.push_back(0);
-            vm->sys_pts.push_back(0);
-          }
-        }
-        vm->sys_blocks++;
-      } else if (code == 0x300105u) {
-        // SHA_EXTEND (sha256.rs:extend mirror; python in emulator/state.py)
-        // a0 = &w[i]; block order contract: [-2, -7, -15, -16, write@0]
-        auto q = read_reg(10, 1);
-        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
-        uint32_t ptr = q.first;
-        if (ptr & 3) return -2;
-        uint32_t base_w = ptr >> 2;
-        if (base_w < 16) return -2;
-        static const uint32_t offs[4] = {2, 7, 15, 16};
-        uint32_t vals[17]; // indexed by offset
-        r.sys_idx = (int32_t)vm->sys_blocks;
-        for (int j = 0; j < 4; j++) {
-          uint32_t w_ = base_w - offs[j];
-          uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
-          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-          vm->sys_addr.push_back(w_);
-          vm->sys_prev.push_back(v);
-          vm->sys_val.push_back(v);
-          vm->sys_pts.push_back(pts);
-          vm->mem_ts[w_] = ts + 3;
-          vals[offs[j]] = v;
-        }
-        auto ror = [](uint32_t v, int k) {
-          return (v >> k) | (v << (32 - k));
-        };
-        uint32_t s0 = ror(vals[15], 7) ^ ror(vals[15], 18) ^ (vals[15] >> 3);
-        uint32_t s1 = ror(vals[2], 17) ^ ror(vals[2], 19) ^ (vals[2] >> 10);
-        uint32_t neww = vals[16] + s0 + vals[7] + s1;
-        uint32_t prevw = vm->mem.count(base_w) ? vm->mem[base_w] : 0;
-        uint32_t ppts = vm->mem_ts.count(base_w) ? vm->mem_ts[base_w] : 0;
-        vm->sys_addr.push_back(base_w);
-        vm->sys_prev.push_back(prevw);
-        vm->sys_val.push_back(neww);
-        vm->sys_pts.push_back(ppts);
-        vm->mem[base_w] = neww;
-        vm->mem_ts[base_w] = ts + 3;
-        for (int j = 5; j < 50; j++) {
-          vm->sys_addr.push_back(0);
-          vm->sys_prev.push_back(0);
-          vm->sys_val.push_back(0);
-          vm->sys_pts.push_back(0);
-        }
-        vm->sys_blocks++;
-      } else if (code == 0x01011du) {
-        // UINT256_MUL (uint256.rs mirror; python in emulator/state.py):
-        // a0 = &x (8 words, overwritten), a1 = &y with modulus at a1+32.
-        // a1 rides the rd record slot as a preserving write.
-        auto q = read_reg(10, 1);
-        r.rs2 = 10; r.rs2_val = q.first; r.rs2_prev_ts = q.second;
-        auto a1 = read_reg(11, 2);
-        r.rd = 11; r.rd_prev = a1.first; r.rd_val = a1.first;
-        r.rd_prev_ts = a1.second;
-        uint32_t x_ptr = q.first, y_ptr = a1.first;
-        if ((x_ptr | y_ptr) & 3) return -2;
-        uint32_t xw = x_ptr >> 2, yw = y_ptr >> 2;
-        uint32_t xv[8], yv[8], mv[8];
-        for (int i = 0; i < 8; i++) {
-          uint32_t w_;
-          w_ = xw + (uint32_t)i; xv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
-          w_ = yw + (uint32_t)i; yv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
-          w_ = yw + 8 + (uint32_t)i; mv[i] = vm->mem.count(w_) ? vm->mem[w_] : 0;
-        }
-        // 256x256 -> 512-bit schoolbook on u32 limbs, then mod m (m=0 ->
-        // truncate to 256 bits). Division via simple base-2^32 long division.
-        uint32_t prod[16] = {0};
-        for (int i = 0; i < 8; i++) {
-          uint64_t carry = 0;
-          for (int j = 0; j < 8; j++) {
-            uint64_t cur = (uint64_t)xv[i] * yv[j] + prod[i + j] + carry;
-            prod[i + j] = (uint32_t)cur;
-            carry = cur >> 32;
-          }
-          prod[i + 8] = (uint32_t)carry;
-        }
-        uint32_t res[8] = {0};
-        bool m_zero = true;
-        for (int i = 0; i < 8; i++) if (mv[i]) m_zero = false;
-        if (m_zero) {
-          for (int i = 0; i < 8; i++) res[i] = prod[i];
-        } else {
-          // rem = prod mod m, bit-by-bit from the top (512 iterations)
-          uint32_t rem[9] = {0};
-          for (int b = 511; b >= 0; b--) {
-            uint32_t topcarry = 0;
-            for (int i = 0; i < 9; i++) {
-              uint32_t nx = (rem[i] << 1) | topcarry;
-              topcarry = rem[i] >> 31;
-              rem[i] = nx;
-            }
-            rem[0] |= (prod[b >> 5] >> (b & 31)) & 1u;
-            // if rem >= m: rem -= m (m has 8 limbs; rem 9)
-            bool ge = rem[8] != 0;
-            if (!ge) {
-              ge = true;
-              for (int i = 7; i >= 0; i--) {
-                if (rem[i] != mv[i]) { ge = rem[i] > mv[i]; break; }
-              }
-            }
-            if (ge) {
-              uint64_t borrow = 0;
-              for (int i = 0; i < 8; i++) {
-                uint64_t cur = (uint64_t)rem[i] - mv[i] - borrow;
-                rem[i] = (uint32_t)cur;
-                borrow = (cur >> 63) & 1;
-              }
-              rem[8] -= (uint32_t)borrow;
-            }
-          }
-          for (int i = 0; i < 8; i++) res[i] = rem[i];
-        }
-        r.sys_idx = (int32_t)vm->sys_blocks;
-        for (int i = 0; i < 8; i++) {  // x write ops
-          uint32_t w_ = xw + (uint32_t)i;
-          uint32_t prev = vm->mem.count(w_) ? vm->mem[w_] : 0;
-          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-          vm->sys_addr.push_back(w_);
-          vm->sys_prev.push_back(prev);
-          vm->sys_val.push_back(res[i]);
-          vm->sys_pts.push_back(pts);
-          vm->mem[w_] = res[i];
-          vm->mem_ts[w_] = ts + 3;
-        }
-        for (int i = 0; i < 16; i++) {  // y then m read ops
-          uint32_t w_ = yw + (uint32_t)i;
-          uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
-          uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-          vm->sys_addr.push_back(w_);
-          vm->sys_prev.push_back(v);
-          vm->sys_val.push_back(v);
-          vm->sys_pts.push_back(pts);
-          vm->mem_ts[w_] = ts + 3;
-        }
-        for (int j = 24; j < 50; j++) {
-          vm->sys_addr.push_back(0);
-          vm->sys_prev.push_back(0);
-          vm->sys_val.push_back(0);
-          vm->sys_pts.push_back(0);
-        }
-        vm->sys_blocks++;
-      } else {
-        return -2; // unsupported ecall
-      }
+      int rc = do_ecall(vm, &r, ts, next_pc);
+      if (rc) return rc;
       break;
     }
     default:

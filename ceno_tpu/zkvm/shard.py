@@ -155,6 +155,48 @@ def plan_boundaries(
     return bounds
 
 
+def _cost_by_kind(opcode_chips: list) -> dict:
+    cost = {}
+    for chip in opcode_chips:
+        for k in chip.kinds:
+            cost[k] = cost.get(k, 0) + len(chip.cb.wit_names) * chip.rows_per_step
+    return cost
+
+
+def plan_boundaries_preflight(
+    vm,
+    opcode_chips: list,
+    max_cells_per_shard: int | None = None,
+    max_steps_per_shard: int | None = None,
+    max_steps: int = 1 << 24,
+) -> list[int]:
+    """Shard plan WITHOUT a trace: run the guest through the AOT preflight
+    backend (emulator/aotgen.py — basic blocks compiled to native code,
+    ceno_emul/src/aot.rs role) with plan_boundaries' exact cost/boundary
+    logic fused in. Identical boundaries to tracing + plan_boundaries at
+    2-3 orders of magnitude more steps/s; matters once shard streams
+    approach the reference's 2^29 default (e2e.rs:58-60). ``vm`` must be
+    fresh (it is not mutated — the preflight runs its own native state).
+    Falls back to trace + plan_boundaries without a C++ toolchain."""
+    from ..emulator import native
+
+    try:
+        bounds, _counts, _steps, state = native.run_preflight(
+            vm, _cost_by_kind(opcode_chips), max_cells_per_shard,
+            max_steps_per_shard, max_steps,
+        )
+        if not state["halted"]:
+            raise RuntimeError("guest did not halt within max_steps")
+        return bounds
+    except native.UnsupportedSyscall:
+        pass
+    except RuntimeError:
+        pass
+    view = native.run_trace(vm, max_steps)
+    return plan_boundaries(view, opcode_chips, max_cells_per_shard,
+                           max_steps_per_shard)
+
+
 def plan_shards(
     view: TraceView,
     vm,
