@@ -13,6 +13,7 @@ provides functional parity for the base field (ext2 lives in goldilocks_ext2).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 P = (1 << 64) - (1 << 32) + 1
@@ -106,6 +107,7 @@ def add(a, b):
     # carry => value - 2^64; fold with += eps (cannot carry again: a+b-2^64 < p)
     lo2, hi2, _ = _add64(lo, hi, carry * _u32(EPS), jnp.zeros_like(hi))
     lo3, hi3 = _cond_sub_p(lo2, hi2)
+    lo3, hi3 = jax.lax.optimization_barrier((lo3, hi3))  # see mul fence note
     return pack(lo3, hi3)
 
 
@@ -113,6 +115,7 @@ def sub(a, b):
     lo, hi, borrow = _sub64(a[0], a[1], b[0], b[1])
     # borrow => value + 2^64; fold with -= eps (cannot borrow again)
     lo2, hi2, _ = _sub64(lo, hi, borrow * _u32(EPS), jnp.zeros_like(hi))
+    lo2, hi2 = jax.lax.optimization_barrier((lo2, hi2))  # see mul fence note
     return pack(lo2, hi2)
 
 
@@ -152,6 +155,12 @@ def mul(a, b):
     rl, rh, cy = _add64(t0l, t0h, sl, sh)
     rl, rh, _ = _add64(rl, rh, cy * _u32(EPS), jnp.zeros_like(rh))
     rl, rh = _cond_sub_p(rl, rh)
+    # fusion fence: XLA's CPU pipeline goes EXPONENTIAL fusing chained
+    # 2-limb products (a depth-2 mul-of-mul chain ran the compiler to 90 GB
+    # RSS before being killed; with the fence a 32-deep chain compiles in
+    # 2s). The barrier caps fusion at one REDC — negligible runtime cost
+    # next to the 16 partial products it already materializes.
+    rl, rh = jax.lax.optimization_barrier((rl, rh))
     return pack(rl, rh)
 
 

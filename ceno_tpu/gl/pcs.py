@@ -191,8 +191,34 @@ class GlOpening:
     pow_nonce: int = 0
 
 
+def _use_device(n: int) -> bool:
+    import os
+
+    if n <= int(os.environ.get("CENO_GL_HOST_N", 1 << 12)):
+        return False
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    # TPU only: XLA's CPU pipeline compiles chained 2-limb arithmetic
+    # pathologically (exponential fusion — see fields/goldilocks.py mul
+    # fence note; even fenced, one Poseidon2-GL round costs ~25s of CPU
+    # compile). The TPU compiler handles the same programs fine, and the
+    # TPU is the only place the device path buys throughput.
+    return backend == "tpu"
+
+
 def commit(cols: np.ndarray, params: GlParams) -> GlCommitted:
     cols = np.asarray(cols, np.uint64)
+    if _use_device(cols.shape[1]):
+        # device path: 2-limb NTT + Poseidon2-GL Merkle kernels
+        # (gl/device.py); byte-identical to the host mirror below
+        from .device import commit_device
+
+        cw, tree = commit_device(cols, params.blowup_log)
+        return GlCommitted(cols, cw, tree, cols.shape[1].bit_length() - 1)
     cw = encode(cols, params.blowup_log)
     return GlCommitted(cols, cw, GlTree.build(cw), cols.shape[1].bit_length() - 1)
 

@@ -132,6 +132,11 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     here (verify_chipset hooks), closing the pairwise aggregation tree."""
     from ..gkr import fs_chain as FS
 
+    if fs and len(proof_specs) > MAX_CHAINS:
+        raise AggError(
+            f"at most {MAX_CHAINS} proofs per FS-bound aggregation "
+            f"(duplex slot keys would wrap mod P); aggregate in a tree"
+        )
     if verify_fn is None:
         def verify_fn(proof, cap, transcript, **kwargs):
             return scheme.verify(vk, proof, capture=cap,
@@ -143,11 +148,6 @@ def build_aggregation_witness_multi(vk, proof_specs: list, fs: bool = False,
     if params is None and vk is not None:
         params = vk.params
 
-    if fs and len(proof_specs) > MAX_CHAINS:
-        raise AggError(
-            f"at most {MAX_CHAINS} proofs per FS-bound aggregation "
-            f"(duplex slot keys would wrap mod P); aggregate in a tree"
-        )
     caps = []
     chains = []
     shared_reg = FS.FsRegistry() if fs else None

@@ -229,17 +229,61 @@ def test_chipset_aggregation_level2(fib_result):
         mp_sets.append((compiled, cb, w, f, pv, k))
     assert MockProver.assert_satisfied(mp_sets) == []
 
-    # PROVE the level-2 closure and verify it: two inner proofs (same key)
-    # collapse into one outer proof
-    okey, outer = prove_chipset_aggregation(key, [aproof, aproof],
-                                            params=PARAMS)
+    # PROVE the level-2 closure over two DISTINCT inner aggregations
+    # (VERDICT r4 weak #6): the hints guest has data-independent control
+    # flow, so two hint sets of equal length give IDENTICAL proof geometry
+    # (same chips, same num_instances -> same AggKey) with different
+    # witness values / public values.
+    from ceno_tpu.emulator.rv32im import assemble
+    from ceno_tpu.emulator.state import Platform, VMState, make_program
+    from ceno_tpu.zkvm.scheme import keygen, prove, verify as shard_verify
+    from ceno_tpu.zkvm.e2e import public_values_from_vm
+    from ceno_tpu.emulator import native
+
+    rom = Platform.rom_start
+    src = open("examples/hints.s").read().format(
+        hints=Platform.hints_start, heap=Platform.heap_start
+    )
+    prog = make_program(assemble(src, rom), rom)
+    pk = keygen(prog, CFG, PARAMS)
+    inner = []
+    for hint_vals in ((3, 17, 99, 4), (3, 250, 1, 77)):
+        vm = VMState(dict(prog), rom)
+        for i, w in enumerate(hint_vals):
+            vm.init_memory(Platform.hints_start + 4 * i, w)
+        trace = native.run_trace(vm)
+        pv2 = public_values_from_vm(vm, CFG)
+        proof2 = prove(pk, vm, trace, pv2)
+        assert shard_verify(pk.vk, proof2)
+        k2, a2 = prove_aggregation(pk.vk, proof2, params=PARAMS)
+        inner.append((k2, a2))
+    (k_a, ap_a), (k_b, ap_b) = inner
+    assert np.array_equal(k_a.digest_elems(), k_b.digest_elems()), \
+        "hint guests must share aggregation-key geometry"
+    assert not np.array_equal(ap_a.public_values, ap_b.public_values), \
+        "inner statements must be distinct"
+    okey, outer = prove_chipset_aggregation(k_a, [ap_a, ap_b], params=PARAMS)
     assert verify_chipset(okey, outer)
     # the outer pv binds the inner key digest + both inner pvs
-    nd = len(key.digest_elems())
+    nd = len(k_a.digest_elems())
     assert np.array_equal(
         np.asarray(outer.public_values[:nd], np.uint64),
-        key.digest_elems() % np.uint64(bb.P),
+        k_a.digest_elems() % np.uint64(bb.P),
     )
+    # KEY-LESS outer verification: the outer chip set reconstructs from the
+    # inner key + public geometry (trust anchor at level 2)
+    from ceno_tpu.zkvm.aggregate import verify_chipset_aggregation
+
+    inner_pvs = [ap_a.public_values, ap_b.public_values]
+    assert verify_chipset_aggregation(outer, k_a, inner_pvs, params=PARAMS)
+    import dataclasses as _dc
+
+    bad_pv = np.array(outer.public_values, np.uint64)
+    bad_pv[-1] = (int(bad_pv[-1]) + 1) % bb.P
+    with pytest.raises(Exception):
+        verify_chipset_aggregation(
+            _dc.replace(outer, public_values=bad_pv), k_a, inner_pvs,
+            params=PARAMS)
 
 
 @pytest.mark.slow
@@ -456,3 +500,17 @@ def test_ec_verify_in_circuit():
             bad.append((name, compiled, cb, wit, fixed))
         errs = MockProver.assert_satisfied(mp(bad), raise_on_error=False)
         assert errs, f"tampering {chip}.{colname} went undetected"
+
+
+def test_chain_cap_enforced():
+    """An FS-bound aggregation refuses more than MAX_CHAINS (=59) proofs —
+    the 60th chain's duplex slot keys would wrap mod P and alias shard 0's
+    namespace; wider aggregations must use the (tested) level-2 tree path."""
+    from ceno_tpu.zkvm.aggregate import (
+        MAX_CHAINS, build_aggregation_witness_multi,
+    )
+
+    assert MAX_CHAINS == 59
+    specs = [(None, {})] * (MAX_CHAINS + 1)
+    with pytest.raises(AggError, match="tree"):
+        build_aggregation_witness_multi(None, specs, fs=True)
