@@ -194,20 +194,22 @@ class GlOpening:
 def _use_device(n: int) -> bool:
     import os
 
+    if not os.environ.get("CENO_GL_DEVICE"):
+        # opt-in: XLA's CPU pipeline compiles chained 2-limb arithmetic
+        # pathologically (exponential fusion — fields/goldilocks.py mul
+        # fence note; even fenced, one Poseidon2-GL round costs ~25s of
+        # CPU compile), and the axon-tunnel TPU compile of the same
+        # programs has not yet been timed in isolation. The kernels are
+        # byte-equality tested in eager mode (tests/test_gl_device.py).
+        return False
     if n <= int(os.environ.get("CENO_GL_HOST_N", 1 << 12)):
         return False
     try:
         import jax
 
-        backend = jax.default_backend()
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
-    # TPU only: XLA's CPU pipeline compiles chained 2-limb arithmetic
-    # pathologically (exponential fusion — see fields/goldilocks.py mul
-    # fence note; even fenced, one Poseidon2-GL round costs ~25s of CPU
-    # compile). The TPU compiler handles the same programs fine, and the
-    # TPU is the only place the device path buys throughput.
-    return backend == "tpu"
 
 
 def commit(cols: np.ndarray, params: GlParams) -> GlCommitted:

@@ -48,9 +48,12 @@ def test_tree_dev_matches_host_eager():
         np.testing.assert_array_equal(want.open_path(idx), got.open_path(idx))
 
 
-def test_device_gate_is_tpu_only(monkeypatch):
-    # on the CPU test backend the gate must refuse (compiler pathology)
+def test_device_gate_is_opt_in_tpu_only(monkeypatch):
+    # the device path is opt-in (CENO_GL_DEVICE) and TPU-backend-only
+    monkeypatch.delenv("CENO_GL_DEVICE", raising=False)
     monkeypatch.setenv("CENO_GL_HOST_N", "0")
+    assert not glp._use_device(1 << 16)
+    monkeypatch.setenv("CENO_GL_DEVICE", "1")
     assert glp._use_device(1 << 16) == (jax.default_backend() == "tpu")
     monkeypatch.setenv("CENO_GL_HOST_N", str(1 << 30))
     assert not glp._use_device(1 << 16)
