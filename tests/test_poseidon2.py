@@ -116,8 +116,8 @@ def test_pallas_leaf_sponge_and_compress_match_host():
     from ceno_tpu.pcs.merkle import host_build_levels, host_hash_leaves
 
     rng = np.random.default_rng(7)
-    for c in (1, 8, 13, 17):
-        cols = rng.integers(0, bb.P, size=(c, 1024), dtype=np.uint64)
+    for c in (1, 8, 13):
+        cols = rng.integers(0, bb.P, size=(c, 512), dtype=np.uint64)
         want = host_hash_leaves(cols)
         got = bb.np_from_monty(np.asarray(pp.leaf_sponge(
             jnp.asarray(bb.np_to_monty(cols.astype(np.uint32))),
@@ -125,7 +125,7 @@ def test_pallas_leaf_sponge_and_compress_match_host():
         ))).astype(np.uint64)
         np.testing.assert_array_equal(want, got)
     leaves = host_hash_leaves(
-        rng.integers(0, bb.P, size=(5, 2048), dtype=np.uint64)
+        rng.integers(0, bb.P, size=(5, 1024), dtype=np.uint64)
     )
     want_lvl = host_build_levels(leaves)[0]
     got_lvl = bb.np_from_monty(np.asarray(pp.compress_level(
