@@ -316,8 +316,10 @@ def generate(program: dict, entry: int) -> str:
 def build(program: dict, entry: int) -> Path | None:
     """Generate + compile the per-program preflight .so (digest-cached).
     Returns the library path, or None if no toolchain is available."""
+    # entry is codegen input (it seeds the dispatch leader set), so it
+    # must key the cache: same words + different entry = different blocks
     digest = hashlib.sha256(
-        repr(sorted(program.items())).encode() + b"|v1"
+        repr((sorted(program.items()), int(entry))).encode() + b"|v2"
     ).hexdigest()[:20]
     _AOT_DIR.mkdir(exist_ok=True)
     so = _AOT_DIR / f"preflight_{digest}.so"

@@ -516,7 +516,13 @@ def run_preflight(vm: VMState, cost_by_kind: dict | None = None,
             raise UnsupportedSyscall("preflight: unsupported syscall")
         if got < 0:
             raise RuntimeError(f"aot preflight failed (code {got})")
-        assert nb.value <= cap, "boundary buffer overflow"
+        if nb.value > cap:
+            # the C side keeps counting past the buffer; truncated
+            # boundaries would be silently WRONG — refuse instead
+            # (callers fall back to the trace planner)
+            raise RuntimeError(
+                f"preflight produced {nb.value} boundaries (> buffer {cap})"
+            )
         pc = ctypes.c_uint32(); cyc = ctypes.c_uint32()
         halted = ctypes.c_int(); exit_code = ctypes.c_uint32()
         lib.emu_state(h, ctypes.byref(pc), ctypes.byref(cyc),

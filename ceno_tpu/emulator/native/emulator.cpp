@@ -255,14 +255,14 @@ static int do_ecall(Vm *vm, StepRow *rp, uint32_t ts, uint32_t &next_pc) {
           uint32_t w_ = base_w + (uint32_t)i;
           if (i < n_words) {
             uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-            vm->sys_addr.push_back(w_);
+            if (tracing) vm->sys_addr.push_back(w_);
             if (tracing) vm->sys_prev.push_back(words[i]);
             if (tracing) vm->sys_val.push_back(outw[i]);
             if (tracing) vm->sys_pts.push_back(pts);
             vm->mem[w_] = outw[i];
             if (tracing) vm->mem_ts[w_] = ts + 3;
           } else {
-            vm->sys_addr.push_back(0);
+            if (tracing) vm->sys_addr.push_back(0);
             if (tracing) vm->sys_prev.push_back(0);
             if (tracing) vm->sys_val.push_back(0);
             if (tracing) vm->sys_pts.push_back(0);
@@ -285,7 +285,7 @@ static int do_ecall(Vm *vm, StepRow *rp, uint32_t ts, uint32_t &next_pc) {
           uint32_t w_ = base_w - offs[j];
           uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
           uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-          vm->sys_addr.push_back(w_);
+          if (tracing) vm->sys_addr.push_back(w_);
           if (tracing) vm->sys_prev.push_back(v);
           if (tracing) vm->sys_val.push_back(v);
           if (tracing) vm->sys_pts.push_back(pts);
@@ -300,14 +300,14 @@ static int do_ecall(Vm *vm, StepRow *rp, uint32_t ts, uint32_t &next_pc) {
         uint32_t neww = vals[16] + s0 + vals[7] + s1;
         uint32_t prevw = vm->mem.count(base_w) ? vm->mem[base_w] : 0;
         uint32_t ppts = vm->mem_ts.count(base_w) ? vm->mem_ts[base_w] : 0;
-        vm->sys_addr.push_back(base_w);
+        if (tracing) vm->sys_addr.push_back(base_w);
         if (tracing) vm->sys_prev.push_back(prevw);
         if (tracing) vm->sys_val.push_back(neww);
         if (tracing) vm->sys_pts.push_back(ppts);
         vm->mem[base_w] = neww;
         if (tracing) vm->mem_ts[base_w] = ts + 3;
         for (int j = 5; j < 50; j++) {
-          vm->sys_addr.push_back(0);
+          if (tracing) vm->sys_addr.push_back(0);
           if (tracing) vm->sys_prev.push_back(0);
           if (tracing) vm->sys_val.push_back(0);
           if (tracing) vm->sys_pts.push_back(0);
@@ -385,7 +385,7 @@ static int do_ecall(Vm *vm, StepRow *rp, uint32_t ts, uint32_t &next_pc) {
           uint32_t w_ = xw + (uint32_t)i;
           uint32_t prev = vm->mem.count(w_) ? vm->mem[w_] : 0;
           uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-          vm->sys_addr.push_back(w_);
+          if (tracing) vm->sys_addr.push_back(w_);
           if (tracing) vm->sys_prev.push_back(prev);
           if (tracing) vm->sys_val.push_back(res[i]);
           if (tracing) vm->sys_pts.push_back(pts);
@@ -396,14 +396,14 @@ static int do_ecall(Vm *vm, StepRow *rp, uint32_t ts, uint32_t &next_pc) {
           uint32_t w_ = yw + (uint32_t)i;
           uint32_t v = vm->mem.count(w_) ? vm->mem[w_] : 0;
           uint32_t pts = vm->mem_ts.count(w_) ? vm->mem_ts[w_] : 0;
-          vm->sys_addr.push_back(w_);
+          if (tracing) vm->sys_addr.push_back(w_);
           if (tracing) vm->sys_prev.push_back(v);
           if (tracing) vm->sys_val.push_back(v);
           if (tracing) vm->sys_pts.push_back(pts);
           if (tracing) vm->mem_ts[w_] = ts + 3;
         }
         for (int j = 24; j < 50; j++) {
-          vm->sys_addr.push_back(0);
+          if (tracing) vm->sys_addr.push_back(0);
           if (tracing) vm->sys_prev.push_back(0);
           if (tracing) vm->sys_val.push_back(0);
           if (tracing) vm->sys_pts.push_back(0);

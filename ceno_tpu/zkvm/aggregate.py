@@ -956,9 +956,21 @@ def verify_aggregation(aproof: AggProof, vk, params=None) -> bool:
     prefix must equal ``vk.digest_elems()``. The semantic link back to the
     shard statement (FS-derived challenges, record-claim -> batched-claim
     linkage, PCS query phase in-circuit) is carried by the reconstructed
-    chip families (RECURSION.md)."""
+    chip families (RECURSION.md).
+
+    The single-proof statement is a STANDALONE halting run: the geometry
+    flags are pinned to (is_first, is_last, standalone) = (True, True,
+    True), so the replayed verifier enforces shard-0 identity, the empty
+    cross-shard bus and the halt rule. A prover-chosen is_last=False
+    would otherwise skip expect_halt — partial shards only aggregate
+    through verify_shard_aggregation, which pins flags per position."""
     if not aproof.geometry or len(aproof.geometry) != 1:
         raise AggError("aggregation proof must carry one shard geometry")
+    g = aproof.geometry[0]
+    if (g.is_first, g.is_last, g.standalone) != (True, True, True):
+        raise AggError(
+            "standalone aggregation must carry standalone shard flags"
+        )
     pvs = _shard_pvs_of(aproof, vk, 1)
     key = expected_agg_key(vk, aproof.geometry, pvs, params)
     verify_chipset(key, aproof)
@@ -1131,7 +1143,10 @@ def verify_chipset_aggregation(outer: AggProof, inner_key: AggKey,
     public geometry, the outer pv prefix must equal the inner key's
     (circuit-binding) digest, and each inner proof's pv must appear in the
     outer statement."""
-    if not (isinstance(outer.geometry, tuple)
+    # accept tuple OR list: the proof serializer round-trips tuples as
+    # lists (serialize.py tag 'L')
+    if not (isinstance(outer.geometry, (tuple, list))
+            and len(outer.geometry) == 2
             and outer.geometry[0] == "chipset"):
         raise AggError("proof does not carry chipset-level geometry")
     inner_ninsts = outer.geometry[1]

@@ -190,7 +190,8 @@ def plan_boundaries_preflight(
         return bounds
     except native.UnsupportedSyscall:
         pass
-    except RuntimeError:
+    except (RuntimeError, OSError):
+        # no toolchain, unwritable cache dir, jump-table guests (-5), ...
         pass
     view = native.run_trace(vm, max_steps)
     return plan_boundaries(view, opcode_chips, max_cells_per_shard,
