@@ -43,7 +43,9 @@ wcopy:
     li t0, {sha_extend}
     addi a0, s1, 64
     ecall
-    # -- stage 4: uint256 x at heap+1024 <- state[0..8], y at +1088 <-
+    # -- stage 4: uint256 x at heap+1024 <- state[0..4] (128-bit: keeps
+    # the quotient under 2^256 — the chip shares the reference's
+    # reduced-inputs carry restriction, field_op.rs:47-56), y at +1088 <-
     # state[8..16]; modulus words at y+32 <- w[16] | 1 (odd), replicated
     li s2, {x_base}
     li t1, 0
@@ -55,8 +57,15 @@ xcopy:
     addi t2, t2, 4
     addi t3, t3, 4
     addi t1, t1, 1
-    li t5, 8
+    li t5, 4
     blt t1, t5, xcopy
+xzero:
+    sw zero, 0(t3)
+    addi t3, t3, 4
+    addi t1, t1, 1
+    li t5, 8
+    blt t1, t5, xzero
+    addi t2, t2, 16     # skip state[4..8]: y reads state[8..16]
     li t1, 0
     addi t3, s2, 64     # y region = x + 64 bytes
 ycopy:

@@ -42,8 +42,9 @@ def _expected():
     s0 = ror(w[1], 7) ^ ror(w[1], 18) ^ (w[1] >> 3)
     s1 = ror(w[14], 17) ^ ror(w[14], 19) ^ (w[14] >> 10)
     w16 = (w[0] + s0 + w[9] + s1) & 0xFFFFFFFF
-    # uint256: x = out[0..8], y = out[8..16], m = w16|1 replicated
-    x = sum(out[i] << (32 * i) for i in range(8))
+    # uint256: x = out[0..4] (128-bit — the chip shares the reference's
+    # reduced-inputs quotient bound), y = out[8..16], m = w16|1 replicated
+    x = sum(out[i] << (32 * i) for i in range(4))
     y = sum(out[8 + i] << (32 * i) for i in range(8))
     mword = w16 | 1
     m = sum(mword << (32 * i) for i in range(8))
