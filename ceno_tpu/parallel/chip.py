@@ -179,6 +179,14 @@ def prove_towers_sharded(mesh, prod_records, logup_records, transcript):
         ([_to_host_layer(l) for l in pl], [_to_host_layer(l) for l in ql])
         for pl, ql in logup_lys_dev
     ]
+    # a 1-wide mesh's local reduction reaches GLOBAL size 1: drop such
+    # layers (the level loop and extend_host expect the top layer at 2 rows)
+    prod_lys = [[l for l in ls if l.shape[0] >= 2] for ls in prod_lys]
+    logup_lys = [
+        ([l for l in pl if l.shape[0] >= 2], [l for l in ql if l.shape[0] >= 2])
+        for pl, ql in logup_lys
+    ]
+
     # layers with < 1 row/device only exist on host: extend by host pairing
     def extend_host(layers):
         while layers[0].shape[0] > 2:
