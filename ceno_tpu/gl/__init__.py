@@ -6,9 +6,11 @@ Role mirror of the reference's `--field goldilocks` configuration
 GoldilocksExt2 instead of BabyBearExt4. BabyBear remains the DEFAULT (and
 device-accelerated) field: its 31-bit Monty arithmetic maps onto the TPU's
 int32 VPU lanes, which is why the reference also defaults to BabyBear.
-These host kernels provide functional parity for the alternate field
-configuration; wiring the full zkVM chip stack over GL is tracked in
-PARITY.md.
+The full zkVM chip stack runs over GL (gl/scheme.py, per-chip schedule),
+including cross-shard continuations on the quintic multiset-hash curve
+(gl/shard.py, gl/shard_chips.py, gl/eccquark.py, fields/gl5_host.py —
+GL.md). Remaining gaps (GL sumcheck device kernels, GL aggregation) are
+tracked in PARITY.md.
 """
 
 from . import poseidon2  # noqa: F401

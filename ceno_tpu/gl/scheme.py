@@ -43,12 +43,12 @@ from . import sumcheck as gsc
 from . import zkvm as glz
 from .transcript import GlTranscript
 from ..zkvm.layout import (
-    N_PUBLIC_VALUES, PV_SHARD_ID, PV_RW_SUM_IN, PV_HEAP_WORDS,
-    PV_STACK_WORDS, PV_INFO_WORDS,
+    N_PUBLIC_VALUES, PV_SHARD_ID, PV_RW_SUM_IN, PV_RW_SUM_OUT,
+    PV_HEAP_WORDS, PV_STACK_WORDS, PV_INFO_WORDS,
 )
 
 _P = np.uint64(gl.P)
-LABEL_GL = b"ceno-gl/zkvm/v1"
+LABEL_GL = b"ceno-gl/zkvm/v2"  # v2: GL continuations (quintic shard chips + quark)
 
 
 class GlSchemeError(Exception):
@@ -119,6 +119,8 @@ class GlChipPiece:
     fixed_evals: np.ndarray        # (n_fixed, 2)
     structural_evals: np.ndarray   # (n_struct, 2)
     opening: object                # gpcs.GlOpening
+    ec_proof: object = None        # glq.GlEccQuarkProof (ec_tree chips)
+    ec_extra: dict = None          # point name -> (evals (n_wit,2), opening)
 
 
 @dataclass
@@ -130,9 +132,10 @@ class GlZKVMProof:
 
 @dataclass
 class GlVerifyingKey:
-    metas: list                    # zkvm.scheme ChipMeta list (field-generic)
+    metas: list                    # ChipMeta list (shard slots are GL-native)
     cfg: object
     fixed_cols: dict               # chip index -> (n_fixed, n_rows) canonical
+    shard_chips: list = None       # GL shard chip defs (prover-side witgen)
 
     def digest_elems(self) -> np.ndarray:
         import hashlib
@@ -150,8 +153,15 @@ def keygen_gl(pk) -> GlVerifyingKey:
     chips are field-generic; the BabyBear fixed commitments are unused here
     — fixed columns are GL key material). Fixed CONTENTS are re-generated
     under the GL field context: the program table field-encodes signed
-    immediates, so its fixed columns are field-dependent."""
+    immediates, so its fixed columns are field-dependent.
+
+    The 4 shard-chip meta slots are SWAPPED for the GL-native chips
+    (gl/shard_chips.py): the septic circuits are a BabyBear-extension
+    construction (z^7 - 2z - 5 arithmetic, BabyBear Poseidon2 constants)
+    and must never be proven over GL."""
     from ..zkvm.chips import field_ctx
+    from ..zkvm.scheme import ChipMeta
+    from .shard_chips import build_gl_shard_chips
 
     n_pre = len(pk.opcode_chips) + len(pk.shard_chips) + len(pk.dyn_chips)
     fixed_cols = {}
@@ -160,7 +170,17 @@ def keygen_gl(pk) -> GlVerifyingKey:
             if not tdef.cb.fixed_names:
                 continue
             fixed_cols[n_pre + ti] = np.asarray(tdef.fixed_fn(), np.uint64)
-    return GlVerifyingKey(pk.metas, pk.cfg, fixed_cols)
+    metas = list(pk.metas)
+    gl_chips = build_gl_shard_chips()
+    base = len(pk.opcode_chips)
+    assert len(pk.shard_chips) == len(gl_chips)
+    for j, chip in enumerate(gl_chips):
+        old = metas[base + j]
+        assert old.kind == chip.kind, (old.kind, chip.kind)
+        metas[base + j] = ChipMeta(
+            chip.name, chip.compiled, chip.cb, False, None, kind=chip.kind
+        )
+    return GlVerifyingKey(metas, pk.cfg, fixed_cols, shard_chips=gl_chips)
 
 
 def _pow2(k: int) -> int:
@@ -175,8 +195,13 @@ def _chip_height_gl(meta, k: int) -> int:
     return _pow2(k)
 
 
-def prove_gl(pk, vm, records, public_values, params=None) -> GlZKVMProof:
-    """Prove one STANDALONE shard over GoldilocksExt2."""
+def prove_gl(pk, vm, records, public_values, params=None,
+             shard_ctx=None) -> GlZKVMProof:
+    """Prove one GL shard. Standalone by default; with ``shard_ctx`` (a
+    zkvm/shard.ShardContext whose pv carries the QUINTIC rw sums — see
+    gl/shard.py) the cross-shard chips activate: tokens hash onto the GL
+    quintic curve in-circuit, the EC trees are accumulated by the quark
+    zerocheck (gl/eccquark.py) and opened at its three extended points."""
     from ..zkvm.chips import field_ctx
     from ..zkvm.witgen import generate_witness
 
@@ -184,12 +209,13 @@ def prove_gl(pk, vm, records, public_values, params=None) -> GlZKVMProof:
     pv = np.asarray(public_values, np.uint64) % _P
     if len(pv) != N_PUBLIC_VALUES:
         raise GlSchemeError("bad public value count")
+    vk = keygen_gl(pk)
     with field_ctx.use(gl.P, inv=gl.inv):
         assigned = generate_witness(
             records, pk.opcode_chips, pk.tables, vm, pv, pk.cfg,
-            shard_chips=pk.shard_chips, dyn_chips=pk.dyn_chips,
+            shard_ctx=shard_ctx, shard_chips=vk.shard_chips,
+            dyn_chips=pk.dyn_chips, data_image=pk.data_image,
         )
-    vk = keygen_gl(pk)
     t = GlTranscript(LABEL_GL)
     t.append(vk.digest_elems())
     t.append(pv)
@@ -250,49 +276,105 @@ def prove_gl(pk, vm, records, public_values, params=None) -> GlZKVMProof:
         t.append(evals.ravel())
         opening = gpcs.open_batch(committed[ci], out.point, wit_evals, t,
                                   params)
+        ec_proof = None
+        ec_extra = None
+        if vk.metas[ci].kind.startswith("ec_tree"):
+            from . import eccquark as glq
+
+            base = (PV_RW_SUM_IN if vk.metas[ci].kind.endswith("_in")
+                    else PV_RW_SUM_OUT)
+            fsum = np.stack([pv[base : base + 5], pv[base + 7 : base + 12]])
+            if not np.array_equal(np.asarray(a.ec_final_sum, np.uint64),
+                                  fsum):
+                raise GlSchemeError(
+                    f"{vk.metas[ci].name}: tree sum != public values")
+            xq, yq, sq = wit[0:5], wit[5:10], wit[10:15]
+            ec_proof, rt = glq.prove_ec_sum(xq, yq, sq, k, fsum, t)
+            pts = glq.extended_points(np.asarray(rt, np.uint64))
+            ec_extra = {}
+            for pname in ("even", "odd", "half"):
+                pt = pts[pname]
+                evs = np.stack([_mle_eval_gl(wit[i], pt)
+                                for i in range(compiled.n_wit)])
+                t.append(evs.ravel())
+                ec_extra[pname] = (
+                    evs, gpcs.open_batch(committed[ci], pt, evs, t, params)
+                )
         pieces[ci] = GlChipPiece(
             committed[ci].root, tower_proof, out.round_msgs,
             wit_evals, fixed_evals, structural_evals, opening,
+            ec_proof=ec_proof, ec_extra=ec_extra,
         )
     return GlZKVMProof(pv, num_instances, pieces)
 
 
 def verify_gl(vk: GlVerifyingKey, proof: GlZKVMProof, params=None,
-              expect_halt: bool = True) -> bool:
-    """Verify a standalone GL shard proof: transcript replay, per-chip
-    towers + masked main zerocheck + PCS opening, fixed/structural MLEs
-    from key material, chip activity gating, and the global bus checks."""
+              expect_halt: bool = True, *, is_first: bool = True,
+              is_last: bool = True, standalone: bool = True) -> bool:
+    """Verify one GL shard proof: transcript replay, per-chip towers +
+    masked main zerocheck + PCS opening, fixed/structural MLEs from key
+    material, first/last activity gating, EC-tree quark verification
+    (non-standalone), and the global bus checks. ``standalone`` (the
+    single-shard public API) additionally requires shard_id == 0 and an
+    empty cross-shard bus; multi-shard stitching is gl/shard.py."""
     params = params or gpcs.GlParams()
     pv = np.asarray(proof.public_values, np.uint64)
     if len(pv) != N_PUBLIC_VALUES:
         raise GlSchemeError("bad public value count")
-    if int(pv[PV_SHARD_ID]) != 0:
-        raise GlSchemeError("standalone proof must be shard 0")
-    if pv[PV_RW_SUM_IN:PV_RW_SUM_IN + 28].any():
-        raise GlSchemeError("standalone proof must have empty rw sums")
+    if standalone:
+        if not (is_first and is_last):
+            raise GlSchemeError("standalone implies first and last")
+        if int(pv[PV_SHARD_ID]) != 0:
+            raise GlSchemeError("standalone proof must be shard 0")
+        if pv[PV_RW_SUM_IN:PV_RW_SUM_IN + 28].any():
+            raise GlSchemeError("standalone proof must have empty rw sums")
+    for base in (PV_RW_SUM_IN, PV_RW_SUM_OUT):
+        # quintic sums use 5 of the 7 per-coordinate slots; the rest are
+        # reserved-zero so a prover cannot smuggle state through them
+        if pv[base + 5 : base + 7].any() or pv[base + 12 : base + 14].any():
+            raise GlSchemeError("reserved rw-sum slots must be zero")
     if len(proof.num_instances) != len(vk.metas):
         raise GlSchemeError("chip count mismatch")
-    if expect_halt:
+    if expect_halt and is_last:
         n_halt = sum(int(proof.num_instances[ci])
                      for ci, m in enumerate(vk.metas) if m.name == "halt")
         if n_halt != 1:
             raise GlSchemeError("shard must halt exactly once")
 
-    # activity gating (standalone: first == last)
+    # activity gating (zkvm/scheme.derive_shard_layout rules)
     for ci, meta in enumerate(vk.metas):
         k = proof.num_instances[ci]
         if meta.is_table:
-            if k != meta.table_rows:
+            active = (
+                (meta.gate == "always")
+                or (meta.gate == "first" and is_first)
+                or (meta.gate == "last" and is_last)
+            )
+            if active and k != meta.table_rows:
                 raise GlSchemeError(f"{meta.name}: table must be active")
+            if not active and k != 0:
+                raise GlSchemeError(f"{meta.name}: table must be inactive")
         elif meta.kind.startswith("dyn_ram"):
+            active = (meta.gate == "first" and is_first) or (
+                meta.gate == "last" and is_last
+            )
             slot = (PV_HEAP_WORDS if "heap" in meta.name
                     else PV_INFO_WORDS if "info" in meta.name
                     else PV_STACK_WORDS)
-            if k != int(pv[slot]):
+            expect = int(pv[slot]) if active else 0
+            if k != expect:
                 raise GlSchemeError(
-                    f"{meta.name}: count {k} != public RAM length")
-        elif meta.kind.startswith(("shard_ram", "ec_tree")) and k != 0:
-            raise GlSchemeError(f"{meta.name}: standalone cannot carry tokens")
+                    f"{meta.name}: count {k} != public RAM length {expect}")
+        elif meta.kind.startswith(("shard_ram", "ec_tree")):
+            if standalone and k != 0:
+                raise GlSchemeError(
+                    f"{meta.name}: standalone cannot carry tokens")
+            if meta.kind.startswith("ec_tree") and k == 0:
+                base = (PV_RW_SUM_IN if meta.kind.endswith("_in")
+                        else PV_RW_SUM_OUT)
+                if pv[base : base + 14].any():
+                    raise GlSchemeError(
+                        f"{meta.name}: empty tree but nonzero rw sum")
 
     t = GlTranscript(LABEL_GL)
     t.append(vk.digest_elems())
@@ -391,6 +473,40 @@ def verify_gl(vk: GlVerifyingKey, proof: GlZKVMProof, params=None,
             raise GlSchemeError(f"{meta.name}: main recombination mismatch")
         gpcs.verify_batch(piece.root, n_vars, compiled.n_wit, point,
                           wit_evals, piece.opening, t, params)
+
+        if meta.kind.startswith("ec_tree"):
+            from . import eccquark as glq
+
+            base = (PV_RW_SUM_IN if meta.kind.endswith("_in")
+                    else PV_RW_SUM_OUT)
+            fsum = np.stack([pv[base : base + 5], pv[base + 7 : base + 12]])
+            ecp = piece.ec_proof
+            if ecp is None:
+                raise GlSchemeError(f"{meta.name}: missing ec proof")
+            if ecp.num_instances != k or ecp.n_vars != n_vars - 1:
+                raise GlSchemeError(f"{meta.name}: ec proof geometry")
+            try:
+                rt, col_evals = glq.verify_ec_sum(ecp, fsum, t)
+            except glq.GlEccError as e:
+                raise GlSchemeError(f"{meta.name}: ec quark: {e}") from e
+            pts = glq.extended_points(rt)
+            if (piece.ec_extra is None
+                    or set(piece.ec_extra) != {"even", "odd", "half"}):
+                raise GlSchemeError(f"{meta.name}: bad ec opening set")
+            for pname, claims in glq.EC_POINTS:
+                evs, op = piece.ec_extra[pname]
+                evs = np.asarray(evs, np.uint64)
+                if evs.shape != (compiled.n_wit, 2):
+                    raise GlSchemeError(f"{meta.name}: bad ec eval shape")
+                t.append(evs.ravel())
+                gpcs.verify_batch(piece.root, n_vars, compiled.n_wit,
+                                  pts[pname], evs, op, t, params)
+                for ev_off, col_base in claims:
+                    for c in range(5):
+                        if not np.array_equal(col_evals[ev_off + c],
+                                              evs[col_base + c]):
+                            raise GlSchemeError(
+                                f"{meta.name}: ec col binding ({pname})")
 
     if not np.array_equal(prod_r, prod_w):
         raise GlSchemeError("global read/write product mismatch")

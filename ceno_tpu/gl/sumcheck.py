@@ -12,6 +12,7 @@ Terms: (scalar (2,), bidx tuple into base cols, eidx tuple into ext cols).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -65,6 +66,22 @@ def _node_eval(cols: list, t: int) -> list:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _lagrange_row(dt: int, t: int) -> tuple:
+    """Integer-node Lagrange weights w_k with p(t) = sum_k w_k p(k) for a
+    degree-dt polynomial sampled at nodes 0..dt (exact mod p)."""
+    ws = []
+    for k in range(dt + 1):
+        num, den = 1, 1
+        for j in range(dt + 1):
+            if j == k:
+                continue
+            num = num * ((t - j) % gl.P) % gl.P
+            den = den * ((k - j) % gl.P) % gl.P
+        ws.append(num * pow(den, gl.P - 2, gl.P) % gl.P)
+    return tuple(ws)
+
+
 def prove(base_cols: list, ext_cols: list, terms: list, n_vars: int,
           transcript, round_hook=None) -> GlSumcheckOutput:
     cols = [_col(np.asarray(c, np.uint64), False) for c in base_cols] + [
@@ -75,10 +92,26 @@ def prove(base_cols: list, ext_cols: list, terms: list, n_vars: int,
     msgs = np.zeros((n_vars, deg + 1, 2), np.uint64)
     point = np.zeros((n_vars, 2), np.uint64)
     for r in range(n_vars):
-        for t in range(deg + 1):
-            node_cols = _node_eval(cols, t)
-            acc = np.zeros(2, np.uint64)
-            for scalar, bidx, eidx in terms:
+        # Each term's round contribution is a univariate of degree = its own
+        # term degree, usually far below the GLOBAL deg (a single sbox
+        # w = u^7 monomial forces deg 8 on the whole message): evaluate the
+        # term only at its deg_t+1 nodes, Lagrange-extend to the rest
+        # (exact, so the messages are byte-identical to the naive path).
+        node_cache: dict = {}
+
+        def nodes_at(t):
+            if t not in node_cache:
+                node_cache[t] = _node_eval(cols, t)
+            return node_cache[t]
+
+        acc_nodes = np.zeros((deg + 1, 2), np.uint64)
+        for scalar, bidx, eidx in terms:
+            dt = len(bidx) + len(eidx)
+            if dt == 0:
+                continue
+            vals = []
+            for t in range(min(dt, deg) + 1):
+                node_cols = nodes_at(t)
                 prod = None
                 for bi in bidx:
                     v = node_cols[bi]
@@ -86,11 +119,17 @@ def prove(base_cols: list, ext_cols: list, terms: list, n_vars: int,
                 for ei in eidx:
                     v = node_cols[n_base + ei]
                     prod = v if prod is None else g2.mul(prod, v)
-                if prod is None:
-                    continue
-                s = _sum_rows(prod)
-                acc = g2.add(acc, g2.mul(np.asarray(scalar, np.uint64), s))
-            msgs[r, t] = acc
+                vals.append(
+                    g2.mul(np.asarray(scalar, np.uint64), _sum_rows(prod))
+                )
+            for t in range(dt + 1, deg + 1):
+                ws = _lagrange_row(dt, t)
+                ext = np.zeros(2, np.uint64)
+                for k in range(dt + 1):
+                    ext = g2.add(ext, g2.mul_base(vals[k], np.uint64(ws[k])))
+                vals.append(ext)
+            acc_nodes = g2.add(acc_nodes, np.stack(vals))
+        msgs[r] = acc_nodes
         transcript.append(msgs[r].ravel())
         alpha = transcript.sample_ext()
         point[r] = alpha

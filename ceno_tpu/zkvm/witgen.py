@@ -169,10 +169,14 @@ def generate_witness(
         for chip in shard_chips:
             tok = tok_in if chip.kind.endswith("_in") else tok_out
             fsum = None
+            # GL shard chips carry their own assigners (gl/shard_chips.py);
+            # the septic defaults serve the BabyBear pipeline
             if chip.kind.startswith("shard_ram"):
-                wit = assign_shard_ram(chip, tok)
+                fn = getattr(chip, "assign_shard_fn", None) or assign_shard_ram
+                wit = fn(chip, tok)
             else:
-                wit, fsum = assign_ec_tree(chip, tok)
+                fn = getattr(chip, "assign_tree_fn", None) or assign_ec_tree
+                wit, fsum = fn(chip, tok)
             k = tok.n
             a = AssignedChip(
                 chip.name, chip.compiled, chip.cb, wit, k, wit.shape[1],
