@@ -49,7 +49,11 @@ N_ITERS = 174760  # fibonacci loop iterations -> 1048571 steps ~= 2^20
 # axe falls: if the warm (compiling) prove ate the budget, its own wall time is
 # reported with note="warm_only" instead of dying silently.
 _T_START = time.time()
-BUDGET_S = float(os.environ.get("CENO_BENCH_BUDGET_S", 1500))
+BUDGET_S = float(os.environ.get("CENO_BENCH_BUDGET_S", 1620))
+# 1620 (was 1500): the driver axe is ~1800s; a cold tunnel (~400s first op)
+# plus the ~1000s warm pass left <300s under the old budget, forcing the
+# warm_only fallback even though the timed pass needs only ~40s. 1620
+# keeps ~3 min of axe slack for the verify/report tail.
 
 
 def _time_left() -> float:
@@ -115,10 +119,15 @@ def _tpu_prove():
     warm_dt = time.time() - t0
     log(f"warm prove done in {warm_dt:.1f}s")
     note = None
-    # Re-prove for the honest number only if the budget clearly allows a
-    # second pass (second run is ~warm_dt when the cache was hot, much less
-    # when it was cold; be conservative and require room for warm_dt again).
-    if _time_left() > warm_dt + 180:
+    # Re-prove for the honest number if the budget allows a second pass.
+    # The second prove reuses the IN-PROCESS jit cache, so it costs the
+    # steady-state ~32s (see .bench_last_good.json), NOT warm_dt — the warm
+    # pass is dominated by one-time tracing + per-program AOT rebuild that
+    # does not recur in-process. (The old `> warm_dt + 180` guard assumed
+    # second ~= warm and therefore ALWAYS degraded to warm_only once the
+    # tunnel made the warm pass slower than ~660s: BENCH_r04/r05 failure
+    # mode.) 300s is ~8x the steady-state prove + verify with slack.
+    if _time_left() > 300:
         from ceno_tpu.utils import spans
 
         spans.enable()
