@@ -147,12 +147,17 @@ def _fold_top(c: np.ndarray, alpha: np.ndarray) -> np.ndarray:
 
 
 def _sum_rows(v: np.ndarray) -> np.ndarray:
-    # exact sum: accumulate per component with python ints (no overflow)
-    return np.array(
-        [int(v[:, 0].astype(object).sum()) % gl.P,
-         int(v[:, 1].astype(object).sum()) % gl.P],
-        np.uint64,
-    )
+    # exact mod-p sum by log-depth vectorized halving (the object-dtype
+    # python-int accumulation it replaces dominated the 2^16-row table
+    # tower sumchecks)
+    if v.shape[0] == 0:
+        return np.zeros(2, np.uint64)
+    while v.shape[0] > 1:
+        if v.shape[0] & 1:
+            v = np.concatenate([v, np.zeros((1, 2), np.uint64)])
+        half = v.shape[0] // 2
+        v = g2.add(v[:half], v[half:])
+    return np.ascontiguousarray(v[0])
 
 
 def lagrange_extrapolate(ys: np.ndarray, r: np.ndarray) -> np.ndarray:

@@ -384,12 +384,17 @@ def _sel_eq_masked(rt, k, n):
 
 
 def _gl2_sum(arr: np.ndarray) -> np.ndarray:
-    """Sum a (n, 2) GL2 array (object-int accumulation avoids u64 wrap)."""
+    """Exact mod-p sum of a (n, 2) GL2 array by log-depth vectorized
+    halving (replaces object-int accumulation; wrap-safe via g2.add)."""
+    arr = np.asarray(arr, np.uint64)
     if arr.shape[0] == 0:
         return np.zeros(2, np.uint64)
-    s0 = int(np.sum(arr[:, 0].astype(object))) % gl.P
-    s1 = int(np.sum(arr[:, 1].astype(object))) % gl.P
-    return np.array([s0, s1], np.uint64)
+    while arr.shape[0] > 1:
+        if arr.shape[0] & 1:
+            arr = np.concatenate([arr, np.zeros((1, 2), np.uint64)])
+        half = arr.shape[0] // 2
+        arr = g2.add(arr[:half], arr[half:])
+    return np.ascontiguousarray(arr[0])
 
 
 def _sel_prefix_eval(rt, k):

@@ -145,12 +145,19 @@ def test_gl_two_shard_fibonacci():
     from ceno_tpu.zkvm.tables import ZKVMConfig
     from ceno_tpu.zkvm.layout import PV_RW_SUM_IN
 
+    from ceno_tpu.gl.pcs import GlParams
+
     cfg = ZKVMConfig(shl_x_bits=6, mem_words_log=7)
+    # small PCS params (the BB torture-test pattern): this is a correctness
+    # test of the continuation machinery, not a security-level benchmark —
+    # full params spend ~10 min/shard in host Merkle/query work alone
+    params = GlParams(blowup_log=1, n_queries=4, pow_bits=0, stop_size=32)
     vm = programs.fibonacci_vm(8)
     records = vm.run()
     pk = keygen(vm.program, cfg)
     n = len(records)
-    sp = prove_shards_gl(pk, vm, records, max_steps_per_shard=n // 2 + 4)
+    sp = prove_shards_gl(pk, vm, records, max_steps_per_shard=n // 2 + 4,
+                         params=params)
     assert sp.n_shards >= 2, "trace did not split"
     assert any(
         np.asarray(p.public_values, np.uint64)[
@@ -158,7 +165,7 @@ def test_gl_two_shard_fibonacci():
         for p in sp.proofs
     ), "no cross-shard tokens hashed"
     vk = gls.keygen_gl(pk)
-    assert verify_shards_gl(vk, sp)
+    assert verify_shards_gl(vk, sp, params=params)
 
     # tamper: one rw-sum limb -> the EC identity (or the shard proof) fails
     import dataclasses
@@ -174,4 +181,5 @@ def test_gl_two_shard_fibonacci():
     bad_proofs[victim] = dataclasses.replace(
         sp.proofs[victim], public_values=bad_pv)
     with pytest.raises(Exception):
-        verify_shards_gl(vk, dataclasses.replace(sp, proofs=bad_proofs))
+        verify_shards_gl(vk, dataclasses.replace(sp, proofs=bad_proofs),
+                         params=params)
